@@ -1,0 +1,432 @@
+"""PhysicsDataset: file index, token packing, and point sampling.
+
+Host-side port of dataset/physics_dataset.py (the reference's torch Dataset),
+restructured for a TPU input pipeline.  Per training item it produces, for one
+(init time, forecast window):
+
+* ``field``          [159, 2405] normalized token matrix: 5 window timesteps x
+                     31 channels (6 surface + 5 pressure vars x 5 levels) + 4
+                     min-max-normalized constant fields
+                     (get_item_input :292-321, constants :144-156, cat :506)
+* margin points      ``label_batch_size`` integer-grid ERA5 samples with labels
+                     and interpolated-NWP conditioning (get_item_label_data
+                     :323-429)
+* inter points       ``inter_batch_size`` continuous collocation points with
+                     interpolated-NWP conditioning (get_inter_data :431-499)
+* Coriolis f at each point (:521-526), forecast lead hours, filename
+
+Two sampling modes:
+* ``sample_mode='host'``  -- points sampled here with numpy, exactly like the
+  reference's dataloader workers.
+* ``sample_mode='device'``-- this class additionally exposes the raw window
+  cubes (``get_window_cubes``) so the jitted train step can resample points
+  on-device every step (ops/interp.py); the host then only decodes files.
+
+File-name and index-pickle conventions are preserved so datasets prepared for
+the reference drop in unchanged: input keys ``mode/GFS_%Y-%m-%d-%H-%M-%S_f%03d_var``
+(:197, :393), labels ``ERA5_%Y-%m-%d-%H-%M-%S_var.tiff`` (:359).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import pickle
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepphysinet_tpu.data.geotiff import read_full_image
+from deepphysinet_tpu.ops.coords import OMEGA
+from deepphysinet_tpu.registry import DATASETS
+from deepphysinet_tpu.utils import path_utils
+
+_DATE_RE = re.compile(r"(\d{4}-\d{1,2}-\d{1,2}-\d{1,2}-\d{1,2}-\d{1,2})")
+_DATE_FMT = "%Y-%m-%d-%H-%M-%S"
+
+
+def _np_trilinear(cube: np.ndarray, lat, lon, th, lat_p, lon_p, t_p) -> np.ndarray:
+    """Linear interp of cube [H, W, T] at scattered points (uniform grids)."""
+    fy = np.clip((lat_p - lat[0]) / (lat[1] - lat[0]), 0, len(lat) - 1)
+    fx = np.clip((lon_p - lon[0]) / (lon[1] - lon[0]), 0, len(lon) - 1)
+    ft = np.clip((t_p - th[0]) / (th[1] - th[0]), 0, len(th) - 1)
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, len(lat) - 2)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, len(lon) - 2)
+    t0 = np.clip(np.floor(ft).astype(np.int64), 0, len(th) - 2)
+    wy, wx, wt = fy - y0, fx - x0, ft - t0
+    out = np.zeros(len(lat_p), np.float64)
+    for dy_, wy_ in ((0, 1 - wy), (1, wy)):
+        for dx_, wx_ in ((0, 1 - wx), (1, wx)):
+            for dt_, wt_ in ((0, 1 - wt), (1, wt)):
+                out += wy_ * wx_ * wt_ * cube[y0 + dy_, x0 + dx_, t0 + dt_]
+    return out
+
+
+def parse_input_filename(file_name: str) -> Tuple[str, str, int, str]:
+    """'GFS_2008-01-01-00-00-00_f024_PSFC' -> (prefix, date_str, forecast_h, var)."""
+    m = _DATE_RE.search(file_name)
+    if m is None:
+        raise ValueError(f"no datetime in {file_name!r}")
+    idx = m.start()
+    prefix = file_name[:idx]
+    date_str = m.group(0)
+    rest = file_name[idx + len(date_str) :]
+    fm = re.match(r"_f(\d{3})_?(.*)", rest)
+    forecast_h = int(fm.group(1))
+    var = fm.group(2)
+    return prefix, date_str, forecast_h, var
+
+
+@DATASETS.register("PhysicsDataset")
+class PhysicsDataset:
+    def __init__(
+        self,
+        input_path: str,
+        label_path: str,
+        input_data_map_cfg: Dict[str, str],
+        start_time: str,
+        end_time: str,
+        input_variable_cfg: dict,
+        out_variable_cfg: dict,
+        in_coord_file: str,
+        out_coord_file: str,
+        constant_path: str,
+        constant_variables: Sequence[str] = ("landsea", "elevation"),
+        input_time_step: int = 6,
+        input_time_step_nums: int = 4,
+        label_time_step: int = 1,
+        label_img_size=64,
+        dx: float = 10800,
+        dy: float = 10800,
+        label_batch_size: int = 1024,
+        inter_batch_size: int = 4096,
+        in_memory: bool = True,
+        obs_name_order: Sequence[str] = ("u10", "v10", "pres", "t2", "q2", "rio"),
+        forecast_time_period: int = 360,
+        start_fore_step: int = 24,
+        local_rank: int = 0,
+        sample_mode: str = "host",
+        seed: Optional[int] = None,
+        **kwargs,
+    ):
+        # reference quirk Q2: configs pass batch_size_inter; honor it when the
+        # canonical name is left at its default
+        if "batch_size_inter" in kwargs and inter_batch_size == 4096:
+            inter_batch_size = kwargs["batch_size_inter"]
+
+        self.input_path = input_path
+        self.label_path = label_path
+        self.mode_names: List[str] = []
+        self.input_data_map: Dict[str, str] = {}
+        for mode_key, file in input_data_map_cfg.items():
+            with open(file, "rb") as fp:
+                data_map = pickle.load(fp)
+            for file_key, img_file in data_map.items():
+                self.input_data_map[f"{mode_key}/{file_key}"] = img_file
+            self.mode_names.append(mode_key)
+
+        self.start_time = datetime.datetime.strptime(start_time, "%Y-%m-%d_%H_%M_%S")
+        self.end_time = datetime.datetime.strptime(end_time, "%Y-%m-%d_%H_%M_%S")
+        self.input_variable_cfg = {k: dict(v) for k, v in input_variable_cfg.items()}
+        self.out_variable_cfg = {k: dict(v) for k, v in out_variable_cfg.items()}
+        self.input_time_step = input_time_step
+        self.input_time_step_nums = input_time_step_nums
+        self.label_time_step = label_time_step
+        self.inter_batch_size = inter_batch_size
+        self.label_batch_size = label_batch_size
+        self.dx = float(dx)
+        self.dy = float(dy)
+        self.obs_name_order = tuple(obs_name_order)
+        self.in_memory = in_memory
+        self.start_fore_step = start_fore_step
+        self.forecast_time_period = forecast_time_period
+        self.local_rank = local_rank
+        self.sample_mode = sample_mode
+        self.rng = np.random.RandomState(seed)
+        self._cache: Dict[str, np.ndarray] = {}
+
+        with open(out_coord_file, "rb") as fp:
+            lon, lat = pickle.load(fp)
+        self.out_lon = np.asarray(lon)[0]
+        self.out_lat = np.asarray(lat)[:, 0]
+        with open(in_coord_file, "rb") as fp:
+            lon, lat = pickle.load(fp)
+        self.in_lon = np.asarray(lon)[0]
+        self.in_lat = np.asarray(lat)[:, 0]
+        assert self.in_lon[0] == self.out_lon[0] and self.in_lat[0] == self.out_lat[0]
+        self.begin_lon = float(self.out_lon[0])
+        self.begin_lat = float(self.out_lat[0])
+
+        if isinstance(label_img_size, (int, float)):
+            self.label_lat_size = self.label_lon_size = int(label_img_size)
+        else:
+            self.label_lat_size, self.label_lon_size = label_img_size
+        assert len(self.out_lon) == self.label_lon_size
+        assert len(self.out_lat) == self.label_lat_size
+
+        self.input_files, _ = self.filter_input_files()
+        self.constant_variables = self.load_constant_variables(
+            constant_path, constant_variables
+        )
+        self.has_normed = False
+
+    # ---- indexing ----
+
+    def filter_input_files(self) -> Tuple[List[str], List[str]]:
+        """Enumerate valid (init time, window) pairs (physics_dataset.py:159-247).
+
+        A window at lead p is valid when all input_time_step_nums+1 window
+        timesteps exist in the index and at least one ERA5 label file exists
+        inside the window.  Presence is checked via the index keys for one
+        canonical variable (the reference derives it from the first glob hit).
+        """
+        window_h = self.input_time_step * self.input_time_step_nums
+        canonical_var = next(iter(self.input_variable_cfg.values()))["name"]
+        result, labels = [], []
+        for mode_name in self.mode_names:
+            t = self.start_time
+            while t <= self.end_time:
+                date_str = t.strftime(_DATE_FMT)
+                for p in range(0, self.forecast_time_period - window_h + 1, window_h):
+                    ok = True
+                    for i in range(self.input_time_step_nums + 1):
+                        key = f"{mode_name}/GFS_{date_str}_f{p + i * self.input_time_step:03d}_{canonical_var}"
+                        if key not in self.input_data_map:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    label_var = self.out_variable_cfg[self.obs_name_order[0]]["name"]
+                    sub_labels = []
+                    steps = int(window_h / self.label_time_step)
+                    for i in range(steps + 1):
+                        ref_time = t + datetime.timedelta(hours=p + i * self.label_time_step)
+                        lf = os.path.join(
+                            self.label_path,
+                            f"ERA5_{ref_time.strftime(_DATE_FMT)}_{label_var}.tiff",
+                        )
+                        if os.path.exists(lf):
+                            sub_labels.append(lf)
+                    if not sub_labels:
+                        continue
+                    labels.extend(sub_labels)
+                    key = f"{mode_name}/GFS_{date_str}_f{p:03d}_{canonical_var}"
+                    result.append(f"{self.input_data_map[key]}.tiff")
+                t = t + datetime.timedelta(hours=self.start_fore_step)
+        return sorted(set(result)), sorted(set(labels))
+
+    # ---- IO ----
+
+    def read_data(self, img_file: str) -> np.ndarray:
+        name = path_utils.get_filename(img_file, is_suffix=False)
+        if name in self._cache:
+            return self._cache[name]
+        img = read_full_image(img_file, as_rgb=False, normalize=False, data_format="NUMPY_FORMAT")
+        if self.in_memory:
+            self._cache[name] = img
+        return img
+
+    def load_constant_variables(self, constant_path, names) -> np.ndarray:
+        rows = []
+        for name in names:
+            data = read_full_image(
+                os.path.join(constant_path, f"{name}.tiff"), as_rgb=False, normalize=False,
+                data_format="NUMPY_FORMAT",
+            )
+            rows.append(data.reshape(-1))
+        arr = np.asarray(rows, dtype=np.float64)
+        lo = arr.min(axis=-1, keepdims=True)
+        hi = arr.max(axis=-1, keepdims=True)
+        return ((arr - lo) / (hi - lo)).astype(np.float32)
+
+    def norm_data(self, data, norm_factor, norm_type):
+        """Forward normalization (physics_dataset.py:270-290)."""
+        if norm_type.lower() == "min_max":
+            if isinstance(norm_factor, (tuple, list)):
+                if len(norm_factor) == 2:
+                    lo, hi = norm_factor
+                    return (data - lo) / (hi - lo)
+                if len(norm_factor) == 1:
+                    return data / norm_factor[0]
+                if len(norm_factor) == 3:
+                    a_min, a_max, lo = norm_factor
+                    return ((data - lo) ** 0.5 - a_min) / (a_max - a_min)
+                raise NotImplementedError
+            return data / norm_factor
+        mean, std = np.asarray(norm_factor[0]), np.asarray(norm_factor[1])
+        return (data - mean) / std
+
+    # ---- item assembly ----
+
+    def __len__(self) -> int:
+        return len(self.input_files)
+
+    def _parse_item(self, input_file: str):
+        file_name = path_utils.get_filename(input_file, is_suffix=False)
+        prefix, date_str, forecast_h, var = parse_input_filename(file_name)
+        mode_name = path_utils.get_parent_folder(
+            path_utils.get_parent_folder(input_file, with_root=True)
+        )
+        return prefix, date_str, forecast_h, mode_name
+
+    def get_item_input(self, input_file: str) -> np.ndarray:
+        """The [155, 2405] token matrix for one window (physics_dataset.py:292-321)."""
+        prefix, date_str, forecast_h, mode_name = self._parse_item(input_file)
+        rows = []
+        for date_id in range(self.input_time_step_nums + 1):
+            ref_p = forecast_h + self.input_time_step * date_id
+            for key, var_dict in self.input_variable_cfg.items():
+                var_name = var_dict["name"]
+                map_key = f"{mode_name}/{prefix}{date_str}_f{ref_p:03d}_{var_name}"
+                path = os.path.join(self.input_path, f"{self.input_data_map[map_key]}.tiff")
+                data = self.read_data(path)
+                if (not self.has_normed) and var_dict["use_norm"]:
+                    data = self.norm_data(data, var_dict["norm_factor"], var_dict["norm_type"])
+                c = data.shape[-1]
+                rows.append(np.transpose(data.reshape(-1, c), (1, 0)))
+        return np.concatenate(rows, axis=0).astype(np.float32)
+
+    def _nwp_cube(self, input_file: str) -> np.ndarray:
+        """Normalized obs-variable window cube [6, H, W, T] from the coarse NWP
+        (the data xarray would interp in physics_dataset.py:383-408)."""
+        prefix, date_str, forecast_h, mode_name = self._parse_item(input_file)
+        cubes = []
+        for key in self.obs_name_order:
+            var_dict = self.out_variable_cfg[key]
+            var_name = var_dict["name"]
+            steps = []
+            for t in range(0, self.input_time_step * self.input_time_step_nums + 1, self.input_time_step):
+                ref_p = forecast_h + t
+                map_key = f"{mode_name}/GFS_{date_str}_f{ref_p:03d}_{var_name}"
+                path = os.path.join(self.input_path, f"{self.input_data_map[map_key]}.tiff")
+                data = self.read_data(path)
+                if (not self.has_normed) and var_dict["use_norm"]:
+                    data = self.norm_data(data, var_dict["norm_factor"], var_dict["norm_type"])
+                steps.append(data)
+            cubes.append(np.concatenate(steps, axis=-1))  # [H, W, T]
+        return np.stack(cubes, axis=0).astype(np.float32)
+
+    def _interp_cube_at(self, cube6, lon_p, lat_p, t_p) -> np.ndarray:
+        """[6, H, W, T] cube -> [N, 6] at scattered (lon, lat, t-hours) points."""
+        th = np.arange(cube6.shape[-1]) * self.input_time_step
+        cols = [
+            _np_trilinear(cube6[v], self.in_lat, self.in_lon, th, lat_p, lon_p, t_p)
+            for v in range(cube6.shape[0])
+        ]
+        return np.stack(cols, axis=-1).astype(np.float32)
+
+    def get_item_label_data(self, input_file: str):
+        """Sample labeled ERA5 points + their NWP conditioning (:323-429)."""
+        prefix, date_str, forecast_h, mode_name = self._parse_item(input_file)
+        start_time = datetime.datetime.strptime(date_str, _DATE_FMT) + datetime.timedelta(
+            hours=forecast_h
+        )
+        n = self.label_batch_size
+        window_h = self.input_time_step * self.input_time_step_nums
+        x_rand = self.rng.randint(0, self.label_lon_size, (n,))
+        y_rand = self.rng.randint(0, self.label_lat_size, (n,))
+        t_rand = self.rng.randint(0, window_h + 1, (n,))
+        lon_rand = self.begin_lon + x_rand * 0.25
+        lat_rand = self.begin_lat + y_rand * 0.25
+
+        # ERA5 labels: gather per unique hour, all 6 variables
+        label_cache: Dict[str, np.ndarray] = {}
+        margin_data = np.zeros((n, 6), np.float32)
+        for i_var, key in enumerate(self.obs_name_order):
+            var_dict = self.out_variable_cfg[key]
+            var_name = var_dict["name"]
+            for t in np.unique(t_rand):
+                ref_time = start_time + datetime.timedelta(hours=int(t))
+                lf = os.path.join(
+                    self.label_path, f"ERA5_{ref_time.strftime(_DATE_FMT)}_{var_name}.tiff"
+                )
+                if lf not in label_cache:
+                    label_cache[lf] = read_full_image(
+                        lf, as_rgb=False, normalize=False, data_format="NUMPY_FORMAT"
+                    )
+                img = label_cache[lf]
+                sel = t_rand == t
+                vals = img[y_rand[sel], x_rand[sel], 0]
+                if (not self.has_normed) and var_dict["use_norm"]:
+                    vals = self.norm_data(vals, var_dict["norm_factor"], var_dict["norm_type"])
+                margin_data[sel, i_var] = vals
+
+        cube6 = self._nwp_cube(input_file)
+        margin_input_data = self._interp_cube_at(cube6, lon_rand, lat_rand, t_rand)
+
+        margin_f = self.get_coriolis(lat_rand)
+        return {
+            "margin_x": (x_rand * self.dx).astype(np.float32),
+            "margin_y": (y_rand * self.dy).astype(np.float32),
+            "margin_t": (t_rand * 3600.0).astype(np.float32),
+            "margin_data": margin_data,
+            "margin_f": margin_f.astype(np.float32),
+            "margin_input_data": margin_input_data,
+        }
+
+    def get_inter_data(self, input_file: str):
+        """Sample continuous collocation points + NWP conditioning (:431-499)."""
+        n = self.inter_batch_size
+        window_h = self.input_time_step * self.input_time_step_nums
+        x_rand = self.rng.rand(n) * (self.label_lon_size - 1)
+        y_rand = self.rng.rand(n) * (self.label_lat_size - 1)
+        t_rand = self.rng.randint(0, window_h + 1, (n,))
+        lon_rand = self.begin_lon + x_rand * 0.25
+        lat_rand = self.begin_lat + y_rand * 0.25
+        cube6 = self._nwp_cube(input_file)
+        inter_data = self._interp_cube_at(cube6, lon_rand, lat_rand, t_rand)
+        inter_f = self.get_coriolis(lat_rand)
+        return {
+            "inter_x": (x_rand * self.dx).astype(np.float32),
+            "inter_y": (y_rand * self.dy).astype(np.float32),
+            "inter_t": (t_rand * 3600.0).astype(np.float32),
+            "inter_data": inter_data,
+            "inter_f": inter_f.astype(np.float32),
+        }
+
+    def get_margin_grid(self, input_file, x_list, y_list, t_list):
+        """Full-grid NWP conditioning for visualization (:528-588)."""
+        lon = self.begin_lon + np.asarray(x_list) * 0.25
+        lat = self.begin_lat + np.asarray(y_list) * 0.25
+        cube6 = self._nwp_cube(input_file)
+        data = self._interp_cube_at(cube6, lon, lat, np.asarray(t_list))
+        f = self.get_coriolis(lat)
+        return (
+            (np.asarray(x_list) * self.dx).astype(np.float32),
+            (np.asarray(y_list) * self.dy).astype(np.float32),
+            (np.asarray(t_list) * 3600.0).astype(np.float32),
+            data,
+            f.astype(np.float32),
+        )
+
+    def get_window_cubes(self, item: int):
+        """Device-sampling mode: raw cubes for one window.
+
+        Returns (field [159, 2405], nwp cube [6, H, W, T], forecast_h).  The
+        jitted step samples points and interpolates on-device (ops/interp.py).
+        """
+        input_file = self.input_files[item % len(self.input_files)]
+        field = np.concatenate(
+            [self.get_item_input(input_file), self.constant_variables], axis=0
+        )
+        _, _, forecast_h, _ = self._parse_item(input_file)
+        return field, self._nwp_cube(input_file), float(forecast_h)
+
+    def __getitem__(self, item: int) -> dict:
+        input_file = self.input_files[item % len(self.input_files)]
+        field = np.concatenate(
+            [self.get_item_input(input_file), self.constant_variables], axis=0
+        )
+        out = {"field_data": field, "input_file": input_file}
+        out.update(self.get_item_label_data(input_file))
+        out.update(self.get_inter_data(input_file))
+        _, _, forecast_h, _ = self._parse_item(input_file)
+        out["forecast_h"] = np.float32(forecast_h)
+        return out
+
+    def get_coriolis(self, lat: np.ndarray) -> np.ndarray:
+        f = 2 * OMEGA * np.sin(np.asarray(lat) / 180.0 * np.pi)
+        if f.ndim == 1:
+            f = f[:, None]
+        return f

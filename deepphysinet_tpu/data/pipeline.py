@@ -1,0 +1,92 @@
+"""Host input pipeline: threaded prefetch + batch collation + device transfer.
+
+Replaces the reference's torch DataLoader with worker processes
+(interface_physics.py:419-424): items are assembled by a thread pool (the
+work is numpy + file IO, which releases the GIL), collated to fixed-shape
+numpy batches, and handed to the training loop which device_puts them with
+the right sharding while the previous step runs -- classic double buffering.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class PrefetchLoader:
+    """Yields dict batches with a leading batch axis, prefetched in background."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _collate(self, items: List[dict]) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        for key in items[0]:
+            vals = [it[key] for it in items]
+            if isinstance(vals[0], str):
+                out[key] = vals  # filenames pass through as a list
+            else:
+                out[key] = np.stack(vals, axis=0)
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0), self.batch_size)
+        ]
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    items = [self.dataset[int(i)] for i in idxs]
+                    q.put(self._collate(items))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

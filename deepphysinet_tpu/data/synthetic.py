@@ -1,0 +1,153 @@
+"""Synthetic dataset generator in the reference's on-disk layout.
+
+Writes a miniature TIGGE/ERA5-style tree -- GFS input tiffs + index pickle,
+ERA5 label tiffs, constant fields, coord pickles -- so the full pipeline
+(indexing, token packing, sampling, training, inference) runs hermetically in
+tests and benchmarks.  Fields are smooth space-time harmonics around each
+variable's climatological mean, so a coordinate MLP can actually fit them and
+physical-unit magnitudes stay realistic.
+
+Layout produced (mirrors README dataset instructions + physics_dataset.py):
+  root/
+    input/NCEP/<year>/GFS_%Y-%m-%d-%H-%M-%S_f%03d_<var>.tiff
+    labels/ERA5_%Y-%m-%d-%H-%M-%S_<var>.tiff
+    constant/{landsea,elevation,lat,lon}.tiff
+    coord_1d.pickle, coord_0p25d.pickle, input_map.pickle
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import pickle
+from typing import Dict, Tuple
+
+import numpy as np
+
+from deepphysinet_tpu.data.geotiff import write_tiff
+from deepphysinet_tpu.ops.coords import make_latlon_grid, save_coord_pickle
+
+_DATE_FMT = "%Y-%m-%d-%H-%M-%S"
+
+# (mean, amplitude) per surface variable in physical units
+_SURFACE = {
+    "PSFC": (9.0e4, 800.0),
+    "t2": (284.0, 8.0),
+    "u10": (0.3, 4.0),
+    "v10": (-0.1, 4.0),
+    "q2": (0.0076, 0.003),
+    "rio": (1.09, 0.08),
+}
+_PRESSURE = {
+    "GHT": (1400.0, 120.0),
+    "TT": (280.0, 9.0),
+    "UU": (3.0, 5.0),
+    "VV": (0.0, 5.0),
+    "QQ": (0.006, 0.002),
+}
+
+
+def _field(name: str, lon2d, lat2d, hours: float, levels: int = 1, seed: int = 0) -> np.ndarray:
+    """Smooth deterministic space-time harmonic field [H, W, levels]."""
+    mean, amp = (_SURFACE.get(name) or _PRESSURE[name])
+    h, w = lon2d.shape
+    rs = np.random.RandomState(abs(hash(name)) % (2**31) + seed)
+    out = np.zeros((h, w, levels), np.float64)
+    for lev in range(levels):
+        ph1, ph2, ph3 = rs.rand(3) * 2 * np.pi
+        k1, k2 = rs.randint(1, 4, 2)
+        f = (
+            np.sin(k1 * np.deg2rad(lon2d) * 6 + ph1 + hours / 24.0)
+            + np.cos(k2 * np.deg2rad(lat2d) * 6 + ph2 - hours / 17.0)
+            + 0.5 * np.sin(np.deg2rad(lon2d + lat2d) * 8 + ph3 + hours / 9.0)
+        ) / 2.5
+        out[:, :, lev] = mean * (1 + 0.0) + amp * f * (1 - 0.08 * lev)
+    return out.astype(np.float32)
+
+
+def generate_synthetic_dataset(
+    root: str,
+    n_init_times: int = 2,
+    start: str = "2008-01-01_00_00_00",
+    forecast_leads=(0,),
+    mode: str = "NCEP",
+    coarse_step: float = 1.0,
+    fine_step: float = 0.25,
+    bbox: Tuple[float, float, float, float] = (72.0, 18.0, 136.0, 54.0),
+    input_time_step: int = 6,
+    input_time_step_nums: int = 4,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Build the tree; returns the path dict a config needs."""
+    lon0, lat0, lon1, lat1 = bbox
+    in_lon2d, in_lat2d = make_latlon_grid(lon0, lat0, lon1, lat1, coarse_step)
+    out_lon2d, out_lat2d = make_latlon_grid(lon0, lat0, lon1, lat1, fine_step)
+
+    input_dir = os.path.join(root, "input")
+    label_dir = os.path.join(root, "labels")
+    const_dir = os.path.join(root, "constant")
+    os.makedirs(label_dir, exist_ok=True)
+    os.makedirs(const_dir, exist_ok=True)
+
+    in_coord = os.path.join(root, "coord_1d.pickle")
+    out_coord = os.path.join(root, "coord_0p25d.pickle")
+    save_coord_pickle(in_coord, in_lon2d, in_lat2d)
+    save_coord_pickle(out_coord, out_lon2d, out_lat2d)
+
+    # constants
+    h, w = in_lon2d.shape
+    rs = np.random.RandomState(seed)
+    write_tiff(os.path.join(const_dir, "landsea.tiff"),
+               (rs.rand(h, w) > 0.4).astype(np.float32))
+    write_tiff(os.path.join(const_dir, "elevation.tiff"),
+               (np.abs(np.sin(in_lon2d / 7) * np.cos(in_lat2d / 5)) * 2500).astype(np.float32))
+    write_tiff(os.path.join(const_dir, "lat.tiff"), in_lat2d.astype(np.float32))
+    write_tiff(os.path.join(const_dir, "lon.tiff"), in_lon2d.astype(np.float32))
+
+    start_dt = datetime.datetime.strptime(start, "%Y-%m-%d_%H_%M_%S")
+    window_h = input_time_step * input_time_step_nums
+    input_map: Dict[str, str] = {}
+
+    for it in range(n_init_times):
+        init = start_dt + datetime.timedelta(hours=24 * it)
+        date_str = init.strftime(_DATE_FMT)
+        year = str(init.year)
+        year_dir = os.path.join(input_dir, mode, year)
+        os.makedirs(year_dir, exist_ok=True)
+        for lead in forecast_leads:
+            for i in range(input_time_step_nums + 1):
+                fh = lead + i * input_time_step
+                abs_hours = (init - start_dt).total_seconds() / 3600 + fh
+                for var in _SURFACE:
+                    name = f"GFS_{date_str}_f{fh:03d}_{var}"
+                    write_tiff(os.path.join(year_dir, f"{name}.tiff"),
+                               _field(var, in_lon2d, in_lat2d, abs_hours, 1, seed))
+                    input_map[name] = f"{mode}/{year}/{name}"
+                for var in _PRESSURE:
+                    name = f"GFS_{date_str}_f{fh:03d}_{var}"
+                    write_tiff(os.path.join(year_dir, f"{name}.tiff"),
+                               _field(var, in_lon2d, in_lat2d, abs_hours, 5, seed))
+                    input_map[name] = f"{mode}/{year}/{name}"
+            # hourly ERA5 labels covering the window
+            for t in range(0, window_h + 1):
+                ref = init + datetime.timedelta(hours=lead + t)
+                abs_hours = (ref - start_dt).total_seconds() / 3600
+                for var in _SURFACE:
+                    lf = os.path.join(label_dir, f"ERA5_{ref.strftime(_DATE_FMT)}_{var}.tiff")
+                    if not os.path.exists(lf):
+                        write_tiff(lf, _field(var, out_lon2d, out_lat2d, abs_hours, 1, seed))
+
+    map_file = os.path.join(root, "input_map.pickle")
+    with open(map_file, "wb") as fp:
+        pickle.dump(input_map, fp)
+
+    return {
+        "input_path": input_dir,
+        "label_path": label_dir,
+        "constant_path": const_dir,
+        "in_coord_file": in_coord,
+        "out_coord_file": out_coord,
+        "input_map_file": map_file,
+        "img_size": out_lon2d.shape,
+        "in_img_size": in_lon2d.shape,
+    }

@@ -1,0 +1,137 @@
+"""The variable encoder: a pre-norm-free transformer over grid-variable tokens.
+
+Port of model/transformer_net.py: each of the 159 tokens is a flattened 37x65
+1-degree field for one (time step, variable) pair; ``learnable_token_num``
+learnable tokens are prepended (transformer_net.py:101-103); ``e_layers``
+encoder layers of full attention + k=1 conv FFN (= dense) with post-norm
+residuals (transformer_net.py:17-44); final LayerNorm + linear projection
+(transformer_net.py:109-128).
+
+TPU-native notes: attention runs through the fused Pallas kernel
+(ops/attention.py) instead of torch einsums (model/attn.py:55-63); matmuls can
+run in bfloat16 with float32 accumulation via ``compute_dtype``.
+``meta_cfg.dropout`` exists in the reference config but no dropout module is
+instantiated in its encoder (SURVEY Q6); behavior here matches (no dropout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deepphysinet_tpu.models.embed import DataEmbedding
+from deepphysinet_tpu.models.init import torch_bias_init, torch_kernel_init, uniform01_init
+from deepphysinet_tpu.ops.attention import fused_attention
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch-default init and f32 params / configurable compute."""
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init, (in_features, self.features), jnp.float32)
+        y = jnp.einsum(
+            "...d,df->...f",
+            x.astype(self.compute_dtype),
+            kernel.astype(self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(in_features), (self.features,), jnp.float32)
+            y = y + bias
+        return y
+
+
+class AttentionLayer(nn.Module):
+    """QKV projection + fused full attention + output projection (attn.py:161-196)."""
+
+    d_model: int
+    n_heads: int
+    compute_dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, l, _ = x.shape
+        h = self.n_heads
+        e = self.d_model // h
+        q = TorchDense(self.d_model, self.compute_dtype, name="query_projection")(x)
+        k = TorchDense(self.d_model, self.compute_dtype, name="key_projection")(x)
+        v = TorchDense(self.d_model, self.compute_dtype, name="value_projection")(x)
+        q = q.reshape(b, l, h, e).astype(self.compute_dtype)
+        k = k.reshape(b, l, h, e).astype(self.compute_dtype)
+        v = v.reshape(b, l, h, e).astype(self.compute_dtype)
+        scale = 1.0 / (e**0.5)  # attn.py:57
+        out = fused_attention(q, k, v, scale, self.attn_impl)
+        out = out.reshape(b, l, h * e)
+        return TorchDense(self.d_model, self.compute_dtype, name="out_projection")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm block: attn residual -> LN -> dense FFN -> LN (transformer_net.py:17-44)."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    activation: str = "gelu"
+    compute_dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        new_x = AttentionLayer(
+            self.d_model, self.n_heads, self.compute_dtype, self.attn_impl, name="attention"
+        )(x)
+        x = x + new_x
+        y = x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        act = nn.relu if self.activation == "relu" else nn.gelu
+        # conv1/conv2 have kernel_size=1 -> plain dense layers over the feature dim.
+        y = act(TorchDense(self.d_ff, self.compute_dtype, name="conv1")(y))
+        y = TorchDense(self.d_model, self.compute_dtype, name="conv2")(y)
+        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
+
+
+class TransformerNet(nn.Module):
+    """The full encoder (transformer_net.py:95-129).
+
+    ``__call__(x_enc [B, L, enc_in], forecast_h [B, 1]) -> [B, L + ltn, c_out]``.
+    """
+
+    enc_in: int
+    c_out: int
+    d_model: int = 512
+    n_heads: int = 8
+    e_layers: int = 6
+    d_ff: int = 512
+    activation: str = "gelu"
+    learnable_token_num: int = 128  # reference default (transformer_net.py:98); see SURVEY Q1
+    compute_dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x_enc: jnp.ndarray, forecast_h: jnp.ndarray) -> jnp.ndarray:
+        token = self.param(
+            "learnable_token", uniform01_init, (1, self.learnable_token_num, self.d_model), jnp.float32
+        )
+        x = DataEmbedding(
+            self.enc_in, self.d_model, compute_dtype=self.compute_dtype, name="enc_embedding"
+        )(x_enc, forecast_h, token)
+        for i in range(self.e_layers):
+            x = EncoderLayer(
+                self.d_model,
+                self.n_heads,
+                self.d_ff,
+                self.activation,
+                self.compute_dtype,
+                self.attn_impl,
+                name=f"layer_{i}",
+            )(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        return TorchDense(self.c_out, self.compute_dtype, name="projection")(x)

@@ -1,0 +1,217 @@
+"""The jitted training step: encode + decode + data loss + PDE residuals + update.
+
+The reference's hot loop (interface_physics.py:433-515) is eager torch: H2D
+transfers, one forward for the data loss, two ``place_one_batch`` calls each
+issuing 19 reverse-mode autograd graphs, a global backward, grad-clip, Adam.
+Here the whole step is ONE jitted, donated XLA program:
+
+  loss(params) = margin_factor * SmoothL1(decode(margin pts), era5)
+               + [with_pde] Sum_eq factor_eq * MSE(residual_eq(inter pts))
+               + [with_pde] Sum_eq factor_eq * MSE(residual_eq(margin pts))
+
+with forward-mode derivatives from physics/engine.py, reverse-mode over the
+whole objective for the parameter gradient (reverse-over-forward), global-norm
+clip at 2.5e7 (interface_physics.py:514), and the optimizer update fused in.
+
+The PDE curriculum (data-only before step 2000, interface_physics.py:436-441)
+switches via a static ``with_pde`` flag -> two compiled variants, zero runtime
+branching cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet
+from deepphysinet_tpu.ops.coords import CoordSpec, encode_coord
+from deepphysinet_tpu.ops.normalization import NormSpec
+from deepphysinet_tpu.physics.constants import DEFAULT_CONSTANTS, PhysicalConstants
+from deepphysinet_tpu.physics.engine import pde_residual_losses
+from deepphysinet_tpu.train.point_fn import inverse_norm_stack, make_phys_fn
+from deepphysinet_tpu.train.losses import build_loss
+
+
+class PointBatch(NamedTuple):
+    """One window's sampled points (margin = labeled ERA5, inter = collocation)."""
+
+    x: jnp.ndarray  # [N] physical meters
+    y: jnp.ndarray  # [N]
+    t: jnp.ndarray  # [N] physical seconds
+    f: jnp.ndarray  # [N, 1] Coriolis parameter
+    nwp: jnp.ndarray  # [N, 6] normalized interpolated NWP values (conditioning)
+    labels: Optional[jnp.ndarray] = None  # [N, 6] normalized ERA5 labels (margin only)
+
+
+class Batch(NamedTuple):
+    field: jnp.ndarray  # [B, L, enc_in] normalized token matrix
+    forecast_h: jnp.ndarray  # [B] unnormalized lead hours
+    margin: PointBatch  # leading axis [B, ...]
+    inter: PointBatch  # leading axis [B, ...]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static configuration closed over by the compiled step."""
+
+    coord_spec: CoordSpec
+    obs_specs: Tuple[NormSpec, ...]  # OBS_NAME_ORDER
+    loss_factor: Any  # dict of factors (configs/...:139-148); hashable via tuple items
+    forecast_time_period: float = 360.0
+    prediction_loss: str = "WeightSmoothL1Loss"
+    prediction_beta: float = 0.1
+    pde_loss: str = "MSELoss"
+    grad_clip_norm: float = 2.5e7
+    pde_start_step: int = 2000
+    constants: PhysicalConstants = DEFAULT_CONSTANTS
+
+    def factors(self) -> Dict[str, float]:
+        return dict(self.loss_factor)
+
+
+def _window_losses(
+    model: PhysicsNet,
+    params,
+    tokens: jnp.ndarray,  # [T, D]
+    fore_h: jnp.ndarray,  # [1]
+    margin: PointBatch,
+    inter: PointBatch,
+    cfg: StepConfig,
+    with_pde: bool,
+    pred_loss_fn,
+) -> Dict[str, jnp.ndarray]:
+    """Losses for one window; vmapped over the window batch by the step."""
+    factors = cfg.factors()
+    # --- data loss at labeled ERA5 points (interface_physics.py:464-474) ---
+    pe = encode_coord(margin.x, margin.y, margin.t, cfg.coord_spec)
+    pred = model.apply(params, tokens, pe, margin.nwp, fore_h, method=PhysicsNet.decode)
+    margin_loss = pred_loss_fn(pred, margin.labels) * factors["margin_factor"]
+    out = {"margin_loss": margin_loss, "_pred_norm": pred}
+
+    if with_pde:
+        # --- PDE residuals at collocation and labeled points (:476-498) ---
+        for prefix, pts in (("inter", inter), ("margin", margin)):
+            phys_fn = make_phys_fn(
+                model, params, tokens, pts.nwp, fore_h, cfg.coord_spec, cfg.obs_specs,
+                with_clip=True,
+            )
+            coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
+            losses = pde_residual_losses(
+                phys_fn, coords, pts.f, factors, cfg.constants
+            )
+            for k, v in losses.items():
+                out[f"{prefix}_{k}"] = v
+    return out
+
+
+def make_train_step_impl(model: PhysicsNet, tx: optax.GradientTransformation, cfg: StepConfig):
+    """The raw (unjitted) step body; jitted by make_train_step /
+    parallel.make_sharded_train_step with the desired shardings."""
+    pred_loss_fn = build_loss(cfg.prediction_loss, beta=cfg.prediction_beta)
+
+    def loss_fn(params, batch: Batch, with_pde: bool):
+        fh_norm = (batch.forecast_h / cfg.forecast_time_period)[:, None]  # [B, 1]
+        tokens = model.apply(params, batch.field, fh_norm, method=PhysicsNet.encode)
+
+        def one_window(tokens_b, fh_b, margin_b, inter_b):
+            return _window_losses(
+                model, params, tokens_b, fh_b, margin_b, inter_b, cfg, with_pde, pred_loss_fn
+            )
+
+        per_window = jax.vmap(one_window)(tokens, fh_norm, batch.margin, batch.inter)
+        pred_norm = per_window.pop("_pred_norm")  # [B, N, 6]
+        metrics = {k: jnp.mean(v) for k, v in per_window.items()}
+        total = metrics["margin_loss"]
+        if with_pde:
+            total = total + metrics["inter_total"] + metrics["margin_total"]
+        metrics["total_loss"] = total
+        return total, (metrics, pred_norm)
+
+    def train_step(state: TrainState, batch: Batch, with_pde: bool):
+        (_, (metrics, pred_norm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, with_pde
+        )
+        gnorm = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
+        scale = jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # physical-unit per-variable MSE against labels (interface_physics.py:517-530)
+        metrics.update(_variable_metrics(pred_norm, batch.margin.labels, cfg))
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_step(model: PhysicsNet, tx: optax.GradientTransformation, cfg: StepConfig):
+    """Returns ``train_step(state, batch, with_pde) -> (state, metrics)`` (jitted)."""
+    impl = make_train_step_impl(model, tx, cfg)
+    return jax.jit(impl, static_argnames=("with_pde",), donate_argnums=(0,))
+
+
+def make_eval_step(model: PhysicsNet, cfg: StepConfig):
+    """Validation losses without the update (interface_physics.py:639-751)."""
+    pred_loss_fn = build_loss(cfg.prediction_loss, beta=cfg.prediction_beta)
+
+    @functools.partial(jax.jit, static_argnames=("with_pde",))
+    def eval_step(params, batch: Batch, with_pde: bool):
+        fh_norm = (batch.forecast_h / cfg.forecast_time_period)[:, None]
+        tokens = model.apply(params, batch.field, fh_norm, method=PhysicsNet.encode)
+
+        def one_window(tokens_b, fh_b, margin_b, inter_b):
+            return _window_losses(
+                model, params, tokens_b, fh_b, margin_b, inter_b, cfg, with_pde, pred_loss_fn
+            )
+
+        per_window = jax.vmap(one_window)(tokens, fh_norm, batch.margin, batch.inter)
+        pred_norm = per_window.pop("_pred_norm")
+        metrics = {k: jnp.mean(v) for k, v in per_window.items()}
+        total = metrics["margin_loss"]
+        if with_pde:
+            total = total + metrics["inter_total"] + metrics["margin_total"]
+        metrics["total_loss"] = total
+        metrics.update(_variable_metrics(pred_norm, batch.margin.labels, cfg))
+        return metrics
+
+    return eval_step
+
+
+def _variable_metrics(pred_norm: jnp.ndarray, labels: jnp.ndarray, cfg: StepConfig):
+    """Per-variable MSE in physical units (interface_physics.py:520-530)."""
+    b, n, _ = pred_norm.shape
+    pred_phys = inverse_norm_stack(pred_norm.reshape(b * n, 6), cfg.obs_specs, with_clip=True)
+    label_phys = inverse_norm_stack(labels.reshape(b * n, 6), cfg.obs_specs, with_clip=True)
+    names = ("u", "v", "p", "T", "q", "rio")
+    d = (pred_phys - label_phys).astype(jnp.float32)
+    mse = jnp.mean(d * d, axis=0)
+    return {f"margin_{k}_loss": mse[i] for i, k in enumerate(names)}
+
+
+def create_train_state(model: PhysicsNet, tx, rng, sample_batch: Batch) -> TrainState:
+    fh_norm = (sample_batch.forecast_h / 360.0)[:, None]
+    n = sample_batch.margin.x.shape[-1]
+    pe_dim = 2 * 3 * 32
+    params = model.init(
+        rng,
+        sample_batch.field,
+        jnp.zeros((n, pe_dim)),
+        sample_batch.margin.nwp[0],
+        fh_norm,
+    )
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)

@@ -1,0 +1,165 @@
+"""Dataset pipeline tests on a hermetic synthetic tree (reference file layout)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepphysinet_tpu.data.dataset import PhysicsDataset, parse_input_filename
+from deepphysinet_tpu.data.geotiff import read_full_image, save_full_image, read_tiff, write_tiff
+from deepphysinet_tpu.data.synthetic import generate_synthetic_dataset
+
+VARIABLE_CFG = {
+    "pres": dict(name="PSFC", norm_factor=[9.0e4, 1.3e4], norm_type="mean_norm", use_norm=True),
+    "t2": dict(name="t2", norm_factor=[284.6, 15.7], norm_type="mean_norm", use_norm=True),
+    "u10": dict(name="u10", norm_factor=[0.32, 3.35], norm_type="mean_norm", use_norm=True),
+    "v10": dict(name="v10", norm_factor=[-0.014, 3.36], norm_type="mean_norm", use_norm=True),
+    "q2": dict(name="q2", norm_factor=[0.0076, 0.0061], norm_type="mean_norm", use_norm=True),
+    "rio": dict(name="rio", norm_factor=[1.09, 0.15], norm_type="mean_norm", use_norm=True),
+    "GHT": dict(name="GHT", norm_factor=[[100, 770, 1478, 3067, 5699], [79, 63, 54, 82, 174]],
+                norm_type="mean_norm", use_norm=True),
+    "TT": dict(name="TT", norm_factor=[[292, 288, 284, 275, 259], [14, 13, 12, 11, 10]],
+               norm_type="mean_norm", use_norm=True),
+    "UU": dict(name="UU", norm_factor=[[0.4, 0.8, 1.9, 4.8, 10.1], [4, 4.8, 5.1, 6.1, 9.7]],
+               norm_type="mean_norm", use_norm=True),
+    "VV": dict(name="VV", norm_factor=[[0.04, 0.18, 0.1, -0.42, -0.95], [3.9, 4.5, 4.7, 5.1, 6.7]],
+               norm_type="mean_norm", use_norm=True),
+    "QQ": dict(name="QQ", norm_factor=[[0.009, 0.008, 0.006, 0.004, 0.002],
+                                       [0.007, 0.006, 0.005, 0.003, 0.002]],
+               norm_type="mean_norm", use_norm=True),
+}
+OBS_CFG = {
+    "u10": dict(name="u10", norm_factor=[0.145, 3.0], norm_type="mean_norm", bound=[-500, 500], use_norm=True),
+    "v10": dict(name="v10", norm_factor=[-0.17, 3.0], norm_type="mean_norm", bound=[-500, 500], use_norm=True),
+    "pres": dict(name="PSFC", norm_factor=[89741.0, 13297.0], norm_type="mean_norm", bound=[10000, 500000], use_norm=True),
+    "t2": dict(name="t2", norm_factor=[283.6, 15.6], norm_type="mean_norm", bound=[50, 500], use_norm=True),
+    "q2": dict(name="q2", norm_factor=[0.0079, 0.0063], norm_type="mean_norm", bound=[1e-6, 10], use_norm=True),
+    "rio": dict(name="rio", norm_factor=[1.097, 0.152], norm_type="mean_norm", bound=[1e-6, 10], use_norm=True),
+}
+
+
+class TestGeoTiff:
+    def test_roundtrip_multiband_float32(self, tmp_path, rng):
+        img = rng.randn(9, 13, 5).astype(np.float32)
+        p = str(tmp_path / "x.tiff")
+        write_tiff(p, img)
+        back, geo = read_tiff(p)
+        np.testing.assert_array_equal(back, img)
+        assert geo is None
+
+    def test_geotransform_roundtrip(self, tmp_path, rng):
+        img = rng.randn(4, 6).astype(np.float32)
+        p = str(tmp_path / "g.tiff")
+        gt = (72.0, 0.25, 0.0, 54.0, 0.0, -0.25)
+        write_tiff(p, img, geo_transform=gt)
+        _, geo = read_tiff(p)
+        np.testing.assert_allclose(geo, gt)
+
+    def test_gdal_format_surface(self, tmp_path, rng):
+        img = rng.randn(3, 7, 8).astype(np.float32)  # [C, H, W]
+        p = str(tmp_path / "c.tiff")
+        save_full_image(p, img, data_format="GDAL_FORMAT")
+        out = read_full_image(p, data_format="NUMPY_FORMAT")
+        assert out.shape == (7, 8, 3)
+        np.testing.assert_array_equal(np.moveaxis(out, -1, 0), img)
+        out2 = read_full_image(p, data_format="GDAL_FORMAT")
+        assert out2.shape == (3, 7, 8)
+
+    def test_dtypes(self, tmp_path):
+        for dt in (np.uint8, np.int16, np.int32, np.float64):
+            img = (np.arange(12).reshape(3, 4)).astype(dt)
+            p = str(tmp_path / f"{np.dtype(dt).name}.tiff")
+            write_tiff(p, img)
+            back, _ = read_tiff(p)
+            np.testing.assert_array_equal(back[:, :, 0], img)
+
+
+def test_parse_input_filename():
+    prefix, date, fh, var = parse_input_filename("GFS_2008-01-01-00-00-00_f024_PSFC")
+    assert prefix == "GFS_" and date == "2008-01-01-00-00-00"
+    assert fh == 24 and var == "PSFC"
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthdata"))
+    # tiny study area: 1deg coarse 10x17, 0.25deg fine 37x65
+    paths = generate_synthetic_dataset(
+        root, n_init_times=2, bbox=(72.0, 18.0, 88.0, 27.0))
+    return paths
+
+
+@pytest.fixture(scope="module")
+def dataset(synth):
+    h, w = synth["img_size"]
+    return PhysicsDataset(
+        input_path=synth["input_path"],
+        label_path=synth["label_path"],
+        input_data_map_cfg={"NCEP": synth["input_map_file"]},
+        start_time="2008-01-01_00_00_00",
+        end_time="2008-01-10_00_00_00",
+        input_variable_cfg=VARIABLE_CFG,
+        out_variable_cfg=OBS_CFG,
+        in_coord_file=synth["in_coord_file"],
+        out_coord_file=synth["out_coord_file"],
+        constant_path=synth["constant_path"],
+        constant_variables=("landsea", "elevation", "lat", "lon"),
+        label_img_size=(h, w),
+        dx=27000.0,
+        dy=27000.0,
+        label_batch_size=128,
+        inter_batch_size=64,
+        forecast_time_period=24,
+        seed=0,
+    )
+
+
+class TestPhysicsDataset:
+    def test_index_found_windows(self, dataset):
+        assert len(dataset) == 2  # two init times, lead 0 windows
+
+    def test_field_token_matrix_shape(self, dataset, synth):
+        item = dataset[0]
+        hh, ww = synth["in_img_size"]
+        # 5 timesteps x (6 surface + 5x5 pressure) + 4 constants = 159 tokens
+        assert item["field_data"].shape == (159, hh * ww)
+        assert np.isfinite(item["field_data"]).all()
+        # normalized magnitudes should be O(1)
+        assert np.abs(item["field_data"][:155]).max() < 50
+
+    def test_margin_points(self, dataset):
+        item = dataset[0]
+        assert item["margin_data"].shape == (128, 6)
+        assert item["margin_input_data"].shape == (128, 6)
+        assert item["margin_f"].shape == (128, 1)
+        # t sampled on integer hours within the window, in seconds
+        t = item["margin_t"]
+        assert t.min() >= 0 and t.max() <= 24 * 3600
+        assert np.all(t % 3600 == 0)
+
+    def test_inter_points_continuous(self, dataset):
+        item = dataset[0]
+        assert item["inter_data"].shape == (64, 6)
+        x = item["inter_x"] / 27000.0
+        assert (x >= 0).all() and (x <= dataset.label_lon_size - 1).all()
+
+    def test_labels_match_nwp_interp_roughly(self, dataset):
+        """Labels and interpolated NWP come from the same synthetic harmonics
+        on two grids: they must be correlated (the residual head relies on
+        conditioning values being near the target)."""
+        item = dataset[0]
+        a, b = item["margin_data"], item["margin_input_data"]
+        for v in range(6):
+            c = np.corrcoef(a[:, v], b[:, v])[0, 1]
+            assert c > 0.8, f"var {v} corr {c}"
+
+    def test_window_cubes_for_device_sampling(self, dataset, synth):
+        field, cube, fh = dataset.get_window_cubes(0)
+        hh, ww = synth["in_img_size"]
+        assert cube.shape == (6, hh, ww, 5)
+        assert fh == 0.0
+
+    def test_coriolis(self, dataset):
+        f = dataset.get_coriolis(np.array([0.0, 45.0]))
+        assert f.shape == (2, 1)
+        assert abs(float(f[0, 0])) < 1e-9

