@@ -1,0 +1,144 @@
+"""CPU-runnable smoke config: small model + synthetic data (auto-generated).
+
+The "data-loss-only coordinate MLP fit" configuration from BASELINE.json: a
+scaled-down PhysicsNet trained on a synthetic TIGGE/ERA5-style tree that this
+config generates on first load under /tmp.  Used by the end-to-end test and
+for quick sanity runs: ``python train.py --config_file configs/smoke_cpu_cfg.py
+--max_steps 30``.
+"""
+
+import os
+import tempfile
+
+_ROOT = os.environ.get("DPN_SMOKE_DATA", os.path.join(tempfile.gettempdir(), "dpn_smoke_data"))
+
+if not os.path.exists(os.path.join(_ROOT, "input_map.pickle")):
+    from deepphysinet_tpu.data.synthetic import generate_synthetic_dataset
+
+    generate_synthetic_dataset(_ROOT, n_init_times=3, bbox=(72.0, 18.0, 88.0, 27.0))
+
+# synthetic study area: 1 deg grid 10x17 -> enc_in 170; 0.25 deg grid 37x65
+mode = "train"
+img_size = (37, 65)
+
+_data = dict(
+    input_path=os.path.join(_ROOT, "input"),
+    label_path=os.path.join(_ROOT, "labels"),
+    input_data_map_cfg=dict(NCEP=os.path.join(_ROOT, "input_map.pickle")),
+    constant_path=os.path.join(_ROOT, "constant"),
+    constant_variables=("landsea", "elevation", "lat", "lon"),
+    in_coord_file=os.path.join(_ROOT, "coord_1d.pickle"),
+    out_coord_file=os.path.join(_ROOT, "coord_0p25d.pickle"),
+    input_time_step=6,
+    input_time_step_nums=4,
+    forecast_time_period=24,
+    label_time_step=1,
+    label_img_size=img_size,
+    label_batch_size=512,
+    batch_size_inter=128,
+    in_memory=True,
+    auto_norm=False,
+)
+
+config = dict(
+    name="InterfacePhysics",
+    meta_cfg=dict(
+        name="TransformerNet", enc_in=170, c_out=64, d_model=64, n_heads=4,
+        e_layers=2, d_ff=64, activation="gelu", learnable_token_num=16,
+        output_attention=False,
+    ),
+    net_cfg=dict(
+        name="PhysicsNet", in_channels=192, hidden_channels=64, out_channels=1,
+        token_num=159, learnable_token_num=32,
+    ),
+    variable_cfg=dict(
+        pres=dict(name="PSFC", norm_factor=[9.0e4, 800.0], norm_type="mean_norm", use_norm=True),
+        t2=dict(name="t2", norm_factor=[284.0, 8.0], norm_type="mean_norm", use_norm=True),
+        u10=dict(name="u10", norm_factor=[0.3, 4.0], norm_type="mean_norm", use_norm=True),
+        v10=dict(name="v10", norm_factor=[-0.1, 4.0], norm_type="mean_norm", use_norm=True),
+        q2=dict(name="q2", norm_factor=[0.0076, 0.003], norm_type="mean_norm", use_norm=True),
+        rio=dict(name="rio", norm_factor=[1.09, 0.08], norm_type="mean_norm", use_norm=True),
+        GHT=dict(name="GHT", norm_factor=[[1400.0] * 5, [120.0] * 5], norm_type="mean_norm", use_norm=True),
+        TT=dict(name="TT", norm_factor=[[280.0] * 5, [9.0] * 5], norm_type="mean_norm", use_norm=True),
+        UU=dict(name="UU", norm_factor=[[3.0] * 5, [5.0] * 5], norm_type="mean_norm", use_norm=True),
+        VV=dict(name="VV", norm_factor=[[0.0] * 5, [5.0] * 5], norm_type="mean_norm", use_norm=True),
+        QQ=dict(name="QQ", norm_factor=[[0.006] * 5, [0.002] * 5], norm_type="mean_norm", use_norm=True),
+    ),
+    obs_norm_cfg=dict(
+        pres=dict(name="PSFC", norm_factor=[9.0e4, 800.0], norm_type="mean_norm",
+                  bound=[10000, 500000], use_norm=True),
+        t2=dict(name="t2", norm_factor=[284.0, 8.0], norm_type="mean_norm",
+                bound=[50, 500], use_norm=True),
+        u10=dict(name="u10", norm_factor=[0.3, 4.0], norm_type="mean_norm",
+                 bound=[-500, 500], use_norm=True),
+        v10=dict(name="v10", norm_factor=[-0.1, 4.0], norm_type="mean_norm",
+                 bound=[-500, 500], use_norm=True),
+        q2=dict(name="q2", norm_factor=[0.0076, 0.003], norm_type="mean_norm",
+                bound=[1e-6, 10], use_norm=True),
+        rio=dict(name="rio", norm_factor=[1.09, 0.08], norm_type="mean_norm",
+                 bound=[1e-6, 10], use_norm=True),
+    ),
+    train_cfg=dict(
+        batch_size=1,
+        batch_size_inter=128,
+        device="cpu",
+        num_epoch=3,
+        num_workers=1,
+        with_pde=True,
+        lable_time_step=1,
+        dx=27000,
+        dy=27000,
+        img_size=img_size,
+        train_data=dict(start_time=r"2008-01-01_00_00_00", end_time=r"2008-01-02_00_00_00", **_data),
+        valid_data=dict(start_time=r"2008-01-03_00_00_00", end_time=r"2008-01-03_00_00_00", **_data),
+        losses=dict(
+            pde_loss=dict(name="MSELoss"),
+            prediction_loss=dict(name="WeightSmoothL1Loss", beta=0.1),
+            loss_factor=dict(
+                sample_factor=1.0e6, margin_factor=1.0e6,
+                motion_u_factor=1.0e3, motion_v_factor=1.0e3,
+                continuous_factor=1.0e10, energy_factor=1e1,
+                vapor_factor=1.0e14, gas_factor=1.0e-7,
+            ),
+        ),
+        optimizer=dict(name="Adam", lr=1e-3, weight_decay=1e-4),
+        checkpoints=dict(checkpoints_path=os.path.join(_ROOT, "checkpoints"), save_step=1),
+        lr_schedule=dict(name="CosineAnnealingLR", T_max=5, eta_min=5e-6),
+        log=dict(
+            log_path=os.path.join(_ROOT, "log"),
+            log_step=10,
+            with_vis=False,
+            vis_path=os.path.join(_ROOT, "vis"),
+            vis_downscale_cfg=dict(
+                coord_file=os.path.join(_ROOT, "coord_0p25d.pickle"),
+                project_dict=dict(name="LatLon"),
+            ),
+        ),
+        tpu=dict(compute_dtype="float32", attn_impl=None, pde_start_step=20,
+                 mesh=dict(data=-1, points=1), sample_mode="host"),
+    ),
+    test_cfg=dict(),
+    inference_cfg=dict(
+        batch_size=1,
+        device="cpu",
+        dt=60 * 60,
+        img_size=img_size,
+        pred_t_span=-1,
+        start_time=r"2008-01-01_01_00_00",
+        end_time=r"2008-01-01_03_00_00",
+        checkpoints=dict(checkpoints_path=os.path.join(_ROOT, "checkpoints")),
+        inference_data=dict(start_time=r"2008-01-01_00_00_00", end_time=r"2008-01-02_00_00_00", **_data),
+        log=dict(
+            with_vis=True,
+            vis_path=os.path.join(_ROOT, "inference_out"),
+            result_path=os.path.join(_ROOT, "inference_out"),
+            write_source=True,
+            export_variable=["T", "U"],
+            time_offset_hours=0,
+            vis_downscale_cfg=dict(
+                coord_file=os.path.join(_ROOT, "coord_0p25d.pickle"),
+                project_dict=dict(name="LatLon"),
+            ),
+        ),
+    ),
+)

@@ -1,0 +1,211 @@
+"""Inference: continuous grid / point queries + product export.
+
+A WORKING implementation of the reference's inference intent.  The reference's
+``run_inference_interface`` is unfinished (calls the 4-argument forward with
+one argument, interface_physics.py:1483; README flags inference as TODO --
+SURVEY Q4); its clear intent (:1466-1527) is: load checkpoint + stored
+metadata, loop hourly over [start_time, end_time], sweep the full (x, y)
+output grid at each time, inverse-normalize, and export jpg renders and
+GeoTIFF rasters per variable.
+
+This module provides that, plus what the broken path was missing: the NWP
+conditioning inputs, sourced through a PhysicsDataset over the inference
+window files.  ``predict_points`` additionally serves station-style queries at
+arbitrary continuous (lon, lat, t) -- the model is a neural field, so the
+same decode answers any coordinate (continuous downscaling 1deg -> 0.25deg ->
+arbitrary, 6h -> 1h -> arbitrary).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet
+from deepphysinet_tpu.ops.coords import encode_coord
+from deepphysinet_tpu.train.point_fn import inverse_norm_stack
+from deepphysinet_tpu.train import checkpoint as ckpt
+
+_VAR_KEYS = ("u", "v", "P", "T", "q", "rio")
+_DATE_FMT = "%Y-%m-%d_%H_%M_%S"
+
+
+def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip):
+    pe = encode_coord(jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), cfg.coord_spec)
+    out = model.apply(
+        params, tokens, pe, jnp.asarray(nwp), jnp.asarray([fh_norm], jnp.float32),
+        method=PhysicsNet.decode,
+    )
+    return inverse_norm_stack(out, cfg.obs_specs, with_clip=with_clip)
+
+
+def predict_grid(
+    model: PhysicsNet,
+    params,
+    cfg,
+    dataset,
+    input_file: str,
+    field: jnp.ndarray,  # [1, L, enc_in]
+    forecast_h: float,
+    time_id_hours: float,
+    with_clip: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Full output-grid sweep at one time offset -> {var: [lat, lon] physical}.
+
+    Mirrors the vis path (interface_physics.py:538-591) and the intended
+    inference sweep (:1466-1517).
+    """
+    lon_size = cfg.coord_spec.lon_size
+    lat_size = cfg.coord_spec.lat_size
+    xs, ys = np.meshgrid(np.arange(lon_size), np.arange(lat_size))
+    x_list = xs.reshape(-1)
+    y_list = ys.reshape(-1)
+    t_list = np.full_like(x_list, time_id_hours)
+
+    px, py, pt, nwp, _f = dataset.get_margin_grid(input_file, x_list, y_list, t_list)
+    fh_norm = forecast_h / cfg.forecast_time_period
+    tokens = model.apply(
+        params, field, jnp.asarray([[fh_norm]], jnp.float32), method=PhysicsNet.encode
+    )
+    phys = _decode_points(model, params, cfg, tokens[0], px, py, pt, nwp, fh_norm, with_clip)
+    phys = np.asarray(jax.device_get(phys))  # one transfer
+
+    out: Dict[str, np.ndarray] = {}
+    for i, name in enumerate(_VAR_KEYS):
+        img = np.zeros((lat_size, lon_size), np.float32)
+        img[y_list, x_list] = phys[:, i]
+        out[name] = img
+    return out
+
+
+def predict_points(
+    model: PhysicsNet,
+    params,
+    cfg,
+    dataset,
+    input_file: str,
+    field: jnp.ndarray,
+    forecast_h: float,
+    lon: np.ndarray,
+    lat: np.ndarray,
+    t_hours: np.ndarray,
+    with_clip: bool = True,
+) -> np.ndarray:
+    """Continuous (station) queries -> [N, 6] physical values."""
+    x = (np.asarray(lon) - dataset.begin_lon) / 0.25 * dataset.dx
+    y = (np.asarray(lat) - dataset.begin_lat) / 0.25 * dataset.dy
+    t = np.asarray(t_hours) * 3600.0
+    cube6 = dataset._nwp_cube(input_file)
+    nwp = dataset._interp_cube_at(cube6, np.asarray(lon), np.asarray(lat), np.asarray(t_hours))
+    fh_norm = forecast_h / cfg.forecast_time_period
+    tokens = model.apply(
+        params, field, jnp.asarray([[fh_norm]], jnp.float32), method=PhysicsNet.encode
+    )
+    phys = _decode_points(model, params, cfg, tokens[0], x, y, t, nwp, fh_norm, with_clip)
+    return np.asarray(jax.device_get(phys))
+
+
+def run_inference(interface, **kwargs):
+    """Checkpoint-driven hourly grid inference + export (intent of :1407-1527)."""
+    from deepphysinet_tpu.data.dataset import PhysicsDataset
+    from deepphysinet_tpu.data.geotiff import save_full_image
+    from deepphysinet_tpu.utils.vis import VisUtils
+
+    inf_cfg = dict(interface.inference_cfg)
+    img_size = inf_cfg["img_size"]
+    if isinstance(img_size, (int, float)):
+        lat_size = lon_size = int(img_size)
+    else:
+        lat_size, lon_size = img_size
+
+    dt = float(inf_cfg.get("dt", 3600))
+    start_time = datetime.datetime.strptime(inf_cfg["start_time"], _DATE_FMT)
+    end_time = datetime.datetime.strptime(inf_cfg["end_time"], _DATE_FMT)
+    checkpoint_path = kwargs.get("checkpoint_path") or inf_cfg["checkpoints"]["checkpoints_path"]
+    log_cfg = dict(inf_cfg.get("log", {}))
+    with_vis = log_cfg.get("with_vis", False)
+    vis_path = log_cfg.get("vis_path", "")
+    write_source = log_cfg.get("write_source", False)
+    export_variable = log_cfg.get("export_variable", ["T"])
+    # reference exports at beijing time = ref_time + 6h (:1520); configurable here
+    time_offset_h = float(log_cfg.get("time_offset_hours", 6))
+
+    state_dict, current_epoch, global_step = ckpt.load_model(checkpoint_path, prefix="physics")
+    if state_dict is None:
+        raise FileNotFoundError(checkpoint_path)
+    print(f"resume from epoch {current_epoch} global_step {global_step}")
+    params = jax.tree.map(jnp.asarray, state_dict["model"])
+
+    interface.dx = ckpt.gather_key_from_state("dx", state_dict, float(interface.train_cfg.get("dx", 27000)))
+    interface.dy = ckpt.gather_key_from_state("dy", state_dict, float(interface.train_cfg.get("dy", 27000)))
+    pred_t_span = ckpt.gather_key_from_state("pred_t_span", state_dict, 86400.0)
+    obs_norm_cfg = ckpt.gather_key_from_state("obs_norm_cfg", state_dict, interface.obs_norm_cfg)
+    interface.obs_norm_cfg = obs_norm_cfg
+    forecast_time_period = interface.train_cfg.get("train_data", {}).get("forecast_time_period", 360)
+    cfg = interface._step_cfg(float(pred_t_span), forecast_time_period)
+
+    data_cfg = inf_cfg.get("inference_data") or interface.train_cfg.get("valid_data")
+    if data_cfg is None:
+        raise ValueError("inference needs inference_cfg.inference_data (dataset cfg)")
+    dataset = PhysicsDataset(
+        **data_cfg, input_variable_cfg=interface.variable_cfg,
+        out_variable_cfg=obs_norm_cfg, dx=interface.dx, dy=interface.dy,
+    )
+    if len(dataset) == 0:
+        raise RuntimeError("no input windows found for inference period")
+
+    vis_utils = VisUtils(**log_cfg.get("vis_downscale_cfg", {})) if with_vis else None
+    if with_vis and vis_path:
+        os.makedirs(vis_path, exist_ok=True)
+
+    window_h = dataset.input_time_step * dataset.input_time_step_nums
+    results = []
+    ref_time = start_time
+    while ref_time <= end_time:
+        # find a window whose [init+lead, +window_h] covers ref_time
+        chosen = None
+        for input_file in dataset.input_files:
+            from deepphysinet_tpu.data.dataset import parse_input_filename
+            from deepphysinet_tpu.utils import path_utils
+
+            name = path_utils.get_filename(input_file, is_suffix=False)
+            _, date_str, fh, _ = parse_input_filename(name)
+            init = datetime.datetime.strptime(date_str, "%Y-%m-%d-%H-%M-%S")
+            t0 = init + datetime.timedelta(hours=fh)
+            off = (ref_time - t0).total_seconds() / 3600.0
+            if 0 <= off <= window_h:
+                chosen = (input_file, fh, off)
+                break
+        if chosen is None:
+            ref_time += datetime.timedelta(seconds=dt)
+            continue
+        input_file, fh, off = chosen
+        field = np.concatenate(
+            [dataset.get_item_input(input_file), dataset.constant_variables], axis=0
+        )[None]
+        grids = predict_grid(
+            interface.physics_net, params, cfg, dataset, input_file,
+            jnp.asarray(field, jnp.float32), float(fh), off, with_clip=True,
+        )
+        out_time = ref_time + datetime.timedelta(hours=time_offset_h)
+        stamp = out_time.strftime(_DATE_FMT)
+        for variable_name in export_variable:
+            key = {"U": "u", "V": "v", "P": "P", "T": "T", "Q": "q", "RIO": "rio"}[
+                variable_name.upper()
+            ]
+            img = grids[key]
+            if with_vis and vis_utils is not None:
+                vis_utils.forward(img, os.path.join(vis_path, f"{stamp}_{variable_name}_vis.jpg"))
+            if write_source:
+                geo = (dataset.begin_lon, 0.25, 0.0,
+                       dataset.begin_lat + 0.25 * (lat_size - 1), 0.0, -0.25)
+                save_full_image(os.path.join(vis_path, f"{stamp}_{variable_name}.tiff"),
+                                img, geo_transform=geo)
+        results.append((ref_time, grids))
+        ref_time += datetime.timedelta(seconds=dt)
+    return results

@@ -1,0 +1,375 @@
+"""InterfacePhysics: the training/validation/inference runtime.
+
+The TPU-native counterpart of the reference's 1540-line trainer
+(interface/interface_physics.py:32-1541).  Orchestration stays on the host --
+datasets, epochs, logging, checkpoints -- while every numeric step (encode,
+decode, data loss, the six PDE residuals, grad, clip, update) lives inside one
+donated jit (train/train_step.py) running single-chip or GSPMD-sharded over a
+device mesh (parallel/sharding.py; replaces run_train_interface_dist's
+DDP/NCCL path :848-1404).
+
+Behavioral parity notes:
+* curriculum: data-loss-only before ``pde_start_step`` (default 2000) steps
+  (:436-441), switched as a static jit flag;
+* validation: one valid batch evaluated every ``log_step`` like the reference's
+  interleaved loop (:639-751);
+* checkpoints carry the same metadata bundle (:838-845) and additionally the
+  optimizer state (documented improvement);
+* the dist-path call semantics of place_one_batch are used (reference quirk Q3:
+  its single-GPU path passes arguments in a broken order).
+
+Tunnel-aware logging: all step metrics are packed into ONE device array and
+fetched with a single transfer per log step (device->host fetches through the
+axon tunnel cost tens of seconds each).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepphysinet_tpu.data.dataset import PhysicsDataset
+from deepphysinet_tpu.data.pipeline import PrefetchLoader
+from deepphysinet_tpu.models.physics_net import PhysicsNet
+from deepphysinet_tpu.ops.coords import CoordSpec
+from deepphysinet_tpu.ops.normalization import OBS_NAME_ORDER, norm_specs_from_cfg
+from deepphysinet_tpu.registry import INTERFACES
+from deepphysinet_tpu.train import checkpoint as ckpt
+from deepphysinet_tpu.train.optim import build_optimizer, set_learning_rate
+from deepphysinet_tpu.train.schedules import build_lr_schedule
+from deepphysinet_tpu.train.train_step import (
+    Batch,
+    PointBatch,
+    StepConfig,
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from deepphysinet_tpu.utils.time_metric import TimeMetric
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "f32": jnp.float32, "bf16": jnp.bfloat16}
+
+
+def _summary_writer(log_path: str):
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(log_path)
+    except Exception:  # pragma: no cover - tensorboardX present in target env
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        return _Null()
+
+
+@INTERFACES.register("InterfacePhysics")
+class InterfacePhysics:
+    def __init__(
+        self,
+        meta_cfg: dict,
+        net_cfg: dict,
+        obs_norm_cfg: dict,
+        variable_cfg: dict,
+        train_cfg: dict,
+        test_cfg: Optional[dict] = None,
+        inference_cfg: Optional[dict] = None,
+        **kwargs,
+    ):
+        self.meta_cfg = dict(meta_cfg)
+        self.net_cfg = dict(net_cfg)
+        self.obs_norm_cfg = dict(obs_norm_cfg)
+        self.variable_cfg = dict(variable_cfg)
+        self.train_cfg = dict(train_cfg)
+        self.test_cfg = dict(test_cfg or {})
+        self.inference_cfg = dict(inference_cfg or {})
+
+        tpu_cfg = dict(self.train_cfg.get("tpu", {}))
+        self.compute_dtype = _DTYPES[str(tpu_cfg.get("compute_dtype", "float32")).lower()]
+        self.attn_impl = tpu_cfg.get("attn_impl")
+        self.pde_start_step = int(tpu_cfg.get("pde_start_step", 2000))
+
+        meta = {k: v for k, v in self.meta_cfg.items() if k not in ("name",)}
+        net = {k: v for k, v in self.net_cfg.items() if k not in ("name",)}
+        self.physics_net = PhysicsNet(
+            meta_cfg=meta, net_cfg=net, compute_dtype=self.compute_dtype,
+            attn_impl=self.attn_impl,
+        )
+
+        img_size = self.train_cfg["img_size"]
+        if isinstance(img_size, (int, float)):
+            self.lat_size = self.lon_size = int(img_size)
+        else:
+            self.lat_size, self.lon_size = img_size
+
+    # ---- batch conversion ----
+
+    def _to_batch(self, data: Dict[str, np.ndarray]) -> Batch:
+        def f32(x):
+            return jnp.asarray(x, jnp.float32)
+
+        margin = PointBatch(
+            x=f32(data["margin_x"]), y=f32(data["margin_y"]), t=f32(data["margin_t"]),
+            f=f32(data["margin_f"]), nwp=f32(data["margin_input_data"]),
+            labels=f32(data["margin_data"]),
+        )
+        inter = PointBatch(
+            x=f32(data["inter_x"]), y=f32(data["inter_y"]), t=f32(data["inter_t"]),
+            f=f32(data["inter_f"]), nwp=f32(data["inter_data"]),
+            labels=jnp.zeros_like(f32(data["inter_data"])),
+        )
+        return Batch(
+            field=f32(data["field_data"]),
+            forecast_h=f32(data["forecast_h"]).reshape(-1),
+            margin=margin,
+            inter=inter,
+        )
+
+    def _step_cfg(self, pred_t_span: float, forecast_time_period: float) -> StepConfig:
+        specs = norm_specs_from_cfg(self.obs_norm_cfg)
+        losses = self.train_cfg["losses"]
+        return StepConfig(
+            coord_spec=CoordSpec(
+                lon_size=self.lon_size, lat_size=self.lat_size,
+                dx=self.dx, dy=self.dy, pred_t_span=pred_t_span,
+            ),
+            obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
+            loss_factor=dict(losses["loss_factor"]),
+            forecast_time_period=float(forecast_time_period),
+            prediction_loss=losses["prediction_loss"]["name"],
+            prediction_beta=float(losses["prediction_loss"].get("beta", 0.1)),
+            pde_loss=losses["pde_loss"]["name"],
+            pde_start_step=self.pde_start_step,
+        )
+
+    @staticmethod
+    def _fetch_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+        """ONE device->host transfer for all scalars (tunnel-aware)."""
+        keys = sorted(metrics.keys())
+        packed = jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
+        vals = np.asarray(jax.device_get(packed))
+        return {k: float(v) for k, v in zip(keys, vals)}
+
+    # ---- training ----
+
+    def run_train_interface(self, dist: bool = False, max_steps: Optional[int] = None, **kwargs):
+        tc = self.train_cfg
+        batch_size = tc["batch_size"]
+        num_epoch = tc["num_epoch"]
+        num_workers = tc.get("num_workers", 2)
+        self.dx = float(tc["dx"])
+        self.dy = float(tc["dy"])
+        time_step = tc.get("lable_time_step", tc.get("label_time_step", 1))
+        self.dt = float(60 * 60 * time_step)
+
+        checkpoint_path = kwargs.get("checkpoint_path") or tc["checkpoints"]["checkpoints_path"]
+        log_path = kwargs.get("log_path") or tc["log"]["log_path"]
+        save_step = tc["checkpoints"].get("save_step", 1)
+        log_step = tc["log"].get("log_step", 100)
+        with_vis = tc["log"].get("with_vis", False)
+        vis_path = tc["log"].get("vis_path", "")
+
+        os.makedirs(log_path, exist_ok=True)
+        os.makedirs(checkpoint_path, exist_ok=True)
+        date_str = datetime.datetime.now().strftime("%Y-%m-%d_%H_%M_%S")
+        log_fp = open(os.path.join(log_path, f"log_{date_str}.txt"), "w")
+        summary = _summary_writer(log_path)
+
+        train_dataset = PhysicsDataset(
+            **tc["train_data"], input_variable_cfg=self.variable_cfg,
+            out_variable_cfg=self.obs_norm_cfg, dx=self.dx, dy=self.dy,
+        )
+        valid_dataset = PhysicsDataset(
+            **tc["valid_data"], input_variable_cfg=self.variable_cfg,
+            out_variable_cfg=self.obs_norm_cfg, dx=self.dx, dy=self.dy,
+        )
+        window_h = train_dataset.input_time_step * train_dataset.input_time_step_nums
+        pred_t_span = float(window_h * 3600)
+        self.pred_t_span = pred_t_span
+        cfg = self._step_cfg(pred_t_span, train_dataset.forecast_time_period)
+
+        sched_cfg = tc.get("lr_schedule")
+        opt_cfg = dict(tc["optimizer"])
+        base_lr = float(opt_cfg.get("lr", 1e-4))
+        schedule = (
+            build_lr_schedule(lr=base_lr, **sched_cfg) if sched_cfg else (lambda e: base_lr)
+        )
+        tx = build_optimizer(**opt_cfg)
+
+        train_loader = PrefetchLoader(
+            train_dataset, batch_size, shuffle=True, drop_last=True, num_workers=num_workers
+        )
+        valid_loader = PrefetchLoader(
+            valid_dataset, batch_size, shuffle=True, drop_last=True, num_workers=1
+        )
+
+        # ---- state init / resume ----
+        state_dict, current_epoch, global_step = ckpt.load_model(checkpoint_path, prefix="physics")
+        sample = next(iter(train_loader))
+        sample_batch = self._to_batch(sample)
+        state = create_train_state(self.physics_net, tx, jax.random.PRNGKey(0), sample_batch)
+        if state_dict is not None:
+            print(f"resume from epoch {current_epoch} global_step {global_step}")
+            log_fp.write(f"resume from epoch {current_epoch} global_step {global_step}\n")
+            state = self._restore_state(state, state_dict, tx)
+
+        # ---- compiled steps ----
+        mesh = None
+        if dist and len(jax.devices()) > 1:
+            from deepphysinet_tpu.parallel.mesh import MeshConfig, make_mesh, shard_batch
+            from deepphysinet_tpu.parallel.sharding import make_sharded_train_step
+
+            mesh_cfg = dict(tc.get("tpu", {}).get("mesh", {}))
+            mesh = make_mesh(MeshConfig(**mesh_cfg) if mesh_cfg else MeshConfig())
+            train_step = make_sharded_train_step(self.physics_net, tx, cfg, mesh)
+            self._shard = lambda b: shard_batch(b, mesh)
+            print(f"mesh: {dict(mesh.shape)}")
+        else:
+            train_step = make_train_step(self.physics_net, tx, cfg)
+            self._shard = lambda b: b
+        eval_step = make_eval_step(self.physics_net, cfg)
+
+        if with_vis:
+            from deepphysinet_tpu.utils.vis import VisUtils
+
+            vis_utils = VisUtils(**tc["log"].get("vis_downscale_cfg", {}))
+
+        time_metric = TimeMetric()
+        lr = schedule(max(current_epoch, 0))
+        set_learning_rate(state.opt_state, lr)
+        print("set lr to:", lr)
+
+        valid_iter: Iterator = iter(valid_loader)
+        stop = False
+        for epoch in range(current_epoch, num_epoch):
+            if stop:
+                break
+            for batch_id, data in enumerate(train_loader):
+                with_pde = bool(tc.get("with_pde", True)) and global_step >= self.pde_start_step
+                global_step += 1
+                batch = self._shard(self._to_batch(data))
+                state, metrics = train_step(state, batch, with_pde)
+
+                if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
+                    m = self._fetch_metrics(metrics)
+                    fps = time_metric.get_fps(log_step * batch_size)
+                    time_metric.reset()
+                    fh = float(np.asarray(data["forecast_h"]).reshape(-1)[0])
+                    parts = [
+                        f"epoch:{epoch}/{num_epoch}", f"batch:{batch_id}/{len(train_loader)}",
+                        f"iter:{global_step}", f"train loss:{m['total_loss']:.6f}",
+                        f"margin_loss:{m['margin_loss']:.6f}", f"forecast:{int(fh):03d}h",
+                        f"grad:{m['grad_norm']:.3e}", f"fps:{fps:.3f}",
+                    ]
+                    line = ",".join(parts)
+                    print("=========training=========")
+                    print(line)
+                    log_fp.write(line + "\n")
+                    log_fp.flush()
+                    for k, v in m.items():
+                        summary.add_scalar(f"training/{k}", v, global_step)
+                    summary.add_scalar(f"training_f{int(fh):03d}/margin_loss",
+                                       m["margin_loss"], global_step)
+
+                    # ---- interleaved validation batch (:639-751) ----
+                    try:
+                        vdata = next(valid_iter)
+                    except StopIteration:
+                        valid_iter = iter(valid_loader)
+                        vdata = next(valid_iter)
+                    vbatch = self._shard(self._to_batch(vdata))
+                    vm = self._fetch_metrics(eval_step(state.params, vbatch, with_pde))
+                    vline = f"valid loss:{vm['total_loss']:.6f},margin:{vm['margin_loss']:.6f}"
+                    print("=========validation=========")
+                    print(vline)
+                    log_fp.write(vline + "\n")
+                    for k, v in vm.items():
+                        summary.add_scalar(f"validation/{k}", v, global_step)
+
+                    if with_vis and vis_path:
+                        self._render_grid(state.params, train_dataset, data, cfg,
+                                          os.path.join(vis_path, "train_results"),
+                                          global_step, with_pde)
+
+                if max_steps and global_step >= max_steps:
+                    stop = True
+                    break
+
+            if epoch % save_step == 0 or stop:
+                lr = schedule(epoch + 1)
+                set_learning_rate(state.opt_state, lr)
+                summary.add_scalar("learning_rate", lr, global_step)
+                ckpt.save_model(
+                    checkpoint_path, epoch, global_step,
+                    params=state.params, opt_state=state.opt_state, prefix="physics",
+                    dx=self.dx, dy=self.dy, dt=self.dt,
+                    pred_x_span=self.dx * self.lon_size,
+                    pred_y_span=self.dy * self.lat_size,
+                    pred_t_span=pred_t_span,
+                    label_time_step=time_step,
+                    input_variable_cfg=self.variable_cfg,
+                    input_time_step=train_dataset.input_time_step,
+                    input_time_step_nums=train_dataset.input_time_step_nums,
+                    obs_norm_cfg=self.obs_norm_cfg,
+                    start_time=str(train_dataset.start_time),
+                    end_time=str(train_dataset.end_time),
+                )
+        log_fp.close()
+        summary.close()
+        return state
+
+    def run_train_interface_dist(self, **kwargs):
+        """Mesh data-parallel training (replaces the reference's DDP path)."""
+        return self.run_train_interface(dist=True, **kwargs)
+
+    def _restore_state(self, state: TrainState, state_dict: dict, tx) -> TrainState:
+        params = jax.tree.map(jnp.asarray, state_dict["model"])
+        opt_state = state.opt_state
+        if state_dict.get("opt_state") is not None:
+            try:
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(state.opt_state),
+                    [jnp.asarray(x) for x in jax.tree.leaves(state_dict["opt_state"])],
+                )
+            except Exception as e:
+                print(f"warning: optimizer state not restored ({e}); reinitializing")
+                opt_state = tx.init(params)
+        return TrainState(step=state.step, params=params, opt_state=opt_state)
+
+    def _render_grid(self, params, dataset, data, cfg, out_dir, global_step, with_pde):
+        """Full-grid render of all six variables (interface_physics.py:532-606)."""
+        from deepphysinet_tpu.inference.runner import predict_grid
+        from deepphysinet_tpu.utils.vis import VisUtils
+
+        time_id = (
+            int(np.random.randint(0, dataset.input_time_step * dataset.input_time_step_nums + 1))
+            if with_pde else 0
+        )
+        input_file = data["input_file"][0]
+        fh = float(np.asarray(data["forecast_h"]).reshape(-1)[0])
+        grids = predict_grid(
+            self.physics_net, params, cfg, dataset, input_file,
+            jnp.asarray(data["field_data"][0:1], jnp.float32), fh, time_id,
+            with_clip=False,
+        )
+        vis = VisUtils(coord_file=None)
+        for name, img in grids.items():
+            out = os.path.join(out_dir, f"{global_step}_result_{name}_f{int(fh):03d}.jpg")
+            vis.forward(img, out, title=f"{name} f{int(fh):03d} t+{time_id}h")
+
+    # ---- inference ----
+
+    def run_inference_interface(self, **kwargs):
+        from deepphysinet_tpu.inference.runner import run_inference
+
+        return run_inference(self, **kwargs)

@@ -49,6 +49,12 @@ def build_optimizer(name: str = "Adam", **kwargs):
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate in-place (trainer epoch boundary)."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Update the injected learning rate in-place (trainer epoch boundary).
+
+    Cast to a float32 device scalar so the opt_state pytree's leaf dtype stays
+    stable and the compiled update is not re-traced.
+    """
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state

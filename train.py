@@ -1,0 +1,63 @@
+"""CLI entry point: ``python train.py --config_file configs/X.py``.
+
+Mirrors the reference CLI (train.py:15-48): load the Python-dict config,
+snapshot the source tree next to the checkpoints for provenance, build the
+interface by name, run training.  Extra flags select the mesh-parallel path
+and cap steps for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import zipfile
+
+
+def zip_codes(src_dir: str, dst_file: str) -> None:
+    """Source snapshot into the checkpoint dir (reference train.py:45-46)."""
+    with zipfile.ZipFile(dst_file, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(src_dir):
+            dirs[:] = [d for d in dirs if d not in
+                       (".git", "__pycache__", "checkpoints", "log", "results")]
+            for f in files:
+                if f.endswith((".py", ".md")):
+                    p = os.path.join(root, f)
+                    zf.write(p, os.path.relpath(p, src_dir))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser("DeepPhysiNet-TPU trainer")
+    parser.add_argument("--config_file", type=str,
+                        default="configs/DeepPhysiNet_NCEP_cfg.py")
+    parser.add_argument("--checkpoints_path", type=str, default=None)
+    parser.add_argument("--log_path", type=str, default=None)
+    parser.add_argument("--dist", action="store_true",
+                        help="mesh data-parallel over all visible devices")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop after N optimizer steps (smoke runs)")
+    parser.add_argument("--mode", type=str, default=None,
+                        choices=[None, "train", "inference"], nargs="?")
+    args = parser.parse_args()
+
+    from deepphysinet_tpu.config import Config
+    from deepphysinet_tpu.interface.build import builder_models
+
+    cfg = Config.fromfile(args.config_file)
+    mode = args.mode or cfg.get("mode", "train")
+    models = builder_models(**cfg["config"])
+
+    if mode == "train":
+        checkpoint_path = args.checkpoints_path or \
+            cfg["config"]["train_cfg"]["checkpoints"]["checkpoints_path"]
+        os.makedirs(checkpoint_path, exist_ok=True)
+        zip_codes(os.path.dirname(os.path.abspath(__file__)),
+                  os.path.join(checkpoint_path, "codes.zip"))
+        run = models.run_train_interface_dist if args.dist else models.run_train_interface
+        run(checkpoint_path=args.checkpoints_path, log_path=args.log_path,
+            max_steps=args.max_steps)
+    else:
+        models.run_inference_interface(checkpoint_path=args.checkpoints_path)
+
+
+if __name__ == "__main__":
+    main()
