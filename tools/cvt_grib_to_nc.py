@@ -1,0 +1,93 @@
+"""Convert GRIB files to per-level netCDF files.
+
+Port of tools/cvt_grib_to_nc.py:69: splits each GRIB into surface / 2 m / 10 m
+and per-pressure-level (1000/925/850/700/500 hPa) netCDF files.  Requires
+``xarray`` + ``cfgrib`` at runtime (not bundled in every environment); the
+script degrades to a clear error message when they are missing.
+"""
+
+import argparse
+import glob
+import multiprocessing
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from deepphysinet_tpu.utils import path_utils
+
+PRESSURE_LEVELS = (1000, 925, 850, 700, 500)
+
+
+def _require_xr():
+    try:
+        import xarray as xr  # noqa: F401
+
+        return xr
+    except ImportError as e:
+        raise SystemExit(
+            "cvt_grib_to_nc requires xarray + cfgrib (pip install xarray cfgrib); "
+            "not available in this environment"
+        ) from e
+
+
+def process_pressure(data_files, result_folder, thread_id=0):
+    xr = _require_xr()
+    for data_file in data_files:
+        name = path_utils.get_filename(data_file, is_suffix=False)
+        for level in PRESSURE_LEVELS:
+            out = os.path.join(result_folder, f"{name}_{level}hpa.nc")
+            if os.path.exists(out):
+                continue
+            ds = xr.load_dataset(
+                data_file, engine="cfgrib",
+                backend_kwargs={"filter_by_keys": {"typeOfLevel": "isobaricInhPa", "level": level}},
+            )
+            ds.to_netcdf(out)
+        for idx in glob.glob(os.path.join(os.path.dirname(data_file), f"{name}*.idx")):
+            os.remove(idx)
+
+
+def process_surface(data_files, result_folder, thread_id=0):
+    xr = _require_xr()
+    filters = [
+        ("surface", {"typeOfLevel": "surface", "level": 0}),
+        ("2m", {"typeOfLevel": "heightAboveGround", "level": 2}),
+        ("10m", {"typeOfLevel": "heightAboveGround", "level": 10}),
+    ]
+    for data_file in data_files:
+        name = path_utils.get_filename(data_file, is_suffix=False)
+        try:
+            for suffix, fk in filters:
+                out = os.path.join(result_folder, f"{name}_{suffix}.nc")
+                if os.path.exists(out):
+                    continue
+                ds = xr.load_dataset(data_file, engine="cfgrib",
+                                     backend_kwargs={"filter_by_keys": fk})
+                ds.to_netcdf(out)
+        except Exception:
+            print(data_file)
+            continue
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_path", type=str, required=True)
+    parser.add_argument("--result_path", type=str, required=True)
+    parser.add_argument("--pressure", action="store_true", default=False)
+    parser.add_argument("--num_threads", type=int, default=0)
+    args = parser.parse_args()
+    os.makedirs(args.result_path, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(args.data_path, "*.grib")) +
+                   glob.glob(os.path.join(args.data_path, "*.grib2")))
+    fn = process_pressure if args.pressure else process_surface
+    if args.num_threads <= 0:
+        fn(files, args.result_path, 0)
+    else:
+        pool = multiprocessing.Pool(args.num_threads)
+        n = args.num_threads
+        for i in range(n):
+            pool.apply_async(fn, (files[i * len(files) // n:(i + 1) * len(files) // n],
+                                  args.result_path, i))
+        pool.close()
+        pool.join()

@@ -1,0 +1,89 @@
+"""Extract hourly ERA5 label GeoTIFFs from ERA5 netCDF files.
+
+Port of tools/extract_variable_from_ERA5.py:75: per-variable hourly rasters
+written as ``ERA5_%Y-%m-%d-%H-%M-%S_<var>.tiff`` (q2 derived from 2 m dewpoint
++ PSFC via physics/thermo.py instead of metpy).  Requires ``netCDF4``.
+"""
+
+import argparse
+import datetime
+import glob
+import multiprocessing
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from deepphysinet_tpu.data.geotiff import read_full_image, save_full_image
+from deepphysinet_tpu.physics.thermo import specific_humidity_from_dewpoint
+
+
+def _require_netcdf():
+    try:
+        from netCDF4 import Dataset
+
+        return Dataset
+    except ImportError as e:
+        raise SystemExit(
+            "extract_variable_from_ERA5 requires netCDF4 (pip install netCDF4); "
+            "not available in this environment"
+        ) from e
+
+
+def process(data_files, result_path, var_name_list, proj_name_list, start_time, end_time,
+            data_shape, thread_id=0):
+    Dataset = _require_netcdf()
+    ref_time = datetime.datetime(1900, 1, 1)
+    os.makedirs(result_path, exist_ok=True)
+    for data_file in data_files:
+        var_dict = Dataset(data_file).variables
+        hours = var_dict["time"]
+        for var_name, proj_name in zip(var_name_list, proj_name_list):
+            for i in range(len(hours)):
+                ts = ref_time + datetime.timedelta(hours=float(hours[i].data))
+                if not (start_time <= ts <= end_time):
+                    continue
+                out = os.path.join(
+                    result_path, f"ERA5_{ts.strftime('%Y-%m-%d-%H-%M-%S')}_{proj_name}.tiff"
+                )
+                if os.path.exists(out):
+                    continue
+                data = var_dict[var_name][i]
+                data = np.asarray(data[:, ::-1] if data.ndim == 3 else data[::-1])
+                if data_shape is not None:
+                    assert data.shape[-1] == data_shape[-1] and data.shape[-2] == data_shape[-2]
+                if proj_name == "q2":
+                    pres_file = os.path.join(
+                        result_path, f"ERA5_{ts.strftime('%Y-%m-%d-%H-%M-%S')}_PSFC.tiff"
+                    )
+                    pres = read_full_image(pres_file, as_rgb=False, normalize=False)[0]
+                    data = specific_humidity_from_dewpoint(pres, data)
+                save_full_image(out, data.astype(np.float32))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_path", type=str, required=True)
+    parser.add_argument("--result_path", type=str, required=True)
+    parser.add_argument("--num_threads", type=int, default=0)
+    parser.add_argument("--start_time", type=str, default="2007-01-01-00:00:00")
+    parser.add_argument("--end_time", type=str, default="2021-12-31-23:00:00")
+    args = parser.parse_args()
+    start = datetime.datetime.strptime(args.start_time, "%Y-%m-%d-%H:%M:%S")
+    end = datetime.datetime.strptime(args.end_time, "%Y-%m-%d-%H:%M:%S")
+    files = sorted(glob.glob(os.path.join(args.data_path, "*.nc")))
+    # ERA5 single-level names -> framework names; PSFC must precede q2
+    var_names = ["sp", "t2m", "u10", "v10", "d2m"]
+    proj_names = ["PSFC", "t2", "u10", "v10", "q2"]
+    if args.num_threads <= 0:
+        process(files, args.result_path, var_names, proj_names, start, end, None, 0)
+    else:
+        pool = multiprocessing.Pool(args.num_threads)
+        n = args.num_threads
+        for i in range(n):
+            pool.apply_async(process, (files[i * len(files) // n:(i + 1) * len(files) // n],
+                                       args.result_path, var_names, proj_names, start, end, None, i))
+        pool.close()
+        pool.join()

@@ -1,0 +1,141 @@
+"""Extract per-variable GeoTIFFs from converted GFS/TIGGE netCDF files.
+
+Port of tools/extract_variable_from_nc.py:136: surface variables (with q2
+derived from 2 m dewpoint + PSFC) and pressure variables (5-level stacks from
+the per-level nc files) written as ``GFS_%Y-%m-%d-%H-%M-%S_f%03d_<var>.tiff``
+under per-year folders.  Requires ``netCDF4``; q2 derivation uses the built-in
+thermodynamics (physics/thermo.py) instead of metpy.
+"""
+
+import argparse
+import datetime
+import glob
+import multiprocessing
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from deepphysinet_tpu.data.geotiff import read_full_image, save_full_image
+from deepphysinet_tpu.physics.thermo import specific_humidity_from_dewpoint
+from deepphysinet_tpu.utils import path_utils
+
+PRESSURE_LEVELS = (1000, 925, 850, 700, 500)
+
+
+def _require_netcdf():
+    try:
+        from netCDF4 import Dataset
+
+        return Dataset
+    except ImportError as e:
+        raise SystemExit(
+            "extract_variable_from_nc requires netCDF4 (pip install netCDF4); "
+            "not available in this environment"
+        ) from e
+
+
+def extract_data(var_dict, var_name, index):
+    data = var_dict[var_name][index]
+    if len(data.shape) == 3:
+        data = data[:, ::-1]
+    elif len(data.shape) == 2:
+        data = data[::-1]
+    else:
+        raise NotImplementedError
+    return np.asarray(data)
+
+
+def process_surface(data_files, result_folder, var_name_list, proj_name_list, thread_id=0):
+    Dataset = _require_netcdf()
+    ref_time = datetime.datetime(1970, 1, 1)
+    for var_name, proj_name in zip(var_name_list, proj_name_list):
+        for data_file in data_files:
+            var_dict = Dataset(data_file).variables
+            seconds = var_dict["time"]
+            step_list = var_dict["step"]
+            for i in range(len(seconds)):
+                ts = ref_time + datetime.timedelta(seconds=float(seconds[i].data))
+                for step_i in range(len(step_list)):
+                    step = int(step_list[step_i].data)
+                    out_dir = os.path.join(result_folder, f"{ts.year:04d}")
+                    os.makedirs(out_dir, exist_ok=True)
+                    out = os.path.join(
+                        out_dir,
+                        f"GFS_{ts.strftime('%Y-%m-%d-%H-%M-%S')}_f{step:03d}_{proj_name}.tiff",
+                    )
+                    if os.path.exists(out):
+                        continue
+                    data = extract_data(var_dict, var_name, (i, step_i))
+                    if proj_name == "q2":
+                        pres_file = os.path.join(
+                            out_dir,
+                            f"GFS_{ts.strftime('%Y-%m-%d-%H-%M-%S')}_f{step:03d}_PSFC.tiff",
+                        )
+                        pres = read_full_image(pres_file, as_rgb=False, normalize=False)[0]
+                        data = specific_humidity_from_dewpoint(pres, data)
+                    save_full_image(out, data.astype(np.float32))
+
+
+def process_pressure(data_files, data_path, result_folder, thread_id=0):
+    Dataset = _require_netcdf()
+    var_name_list = ["u", "v", "t", "gh", "q"]
+    proj_name_list = ["UU", "VV", "TT", "GHT", "QQ"]
+    ref_time = datetime.datetime(1970, 1, 1)
+    for data_file in data_files:
+        base = path_utils.get_filename(data_file, is_suffix=False).replace("_1000hpa", "")
+        level_vars = {
+            lv: Dataset(os.path.join(data_path, f"{base}_{lv}hpa.nc")).variables
+            for lv in PRESSURE_LEVELS
+        }
+        ref_vars = level_vars[1000]
+        seconds = ref_vars["time"]
+        step_list = ref_vars["step"]
+        for var_name, proj_name in zip(var_name_list, proj_name_list):
+            for i in range(len(seconds)):
+                ts = ref_time + datetime.timedelta(seconds=float(seconds[i].data))
+                for step_i in range(len(step_list)):
+                    step = int(step_list[step_i].data)
+                    out_dir = os.path.join(result_folder, f"{ts.year:04d}")
+                    os.makedirs(out_dir, exist_ok=True)
+                    out = os.path.join(
+                        out_dir,
+                        f"GFS_{ts.strftime('%Y-%m-%d-%H-%M-%S')}_f{step:03d}_{proj_name}.tiff",
+                    )
+                    if os.path.exists(out):
+                        continue
+                    stack = np.stack(
+                        [extract_data(level_vars[lv], var_name, (i, step_i))
+                         for lv in PRESSURE_LEVELS],
+                        axis=-3,
+                    )
+                    save_full_image(out, stack.astype(np.float32), data_format="GDAL_FORMAT")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_path", type=str, required=True)
+    parser.add_argument("--result_path", type=str, required=True)
+    parser.add_argument("--pressure", action="store_true", default=False)
+    parser.add_argument("--num_threads", type=int, default=0)
+    args = parser.parse_args()
+    os.makedirs(args.result_path, exist_ok=True)
+    if args.pressure:
+        files = sorted(glob.glob(os.path.join(args.data_path, "*_1000hpa.nc")))
+        work = lambda fs, tid: process_pressure(fs, args.data_path, args.result_path, tid)
+    else:
+        files = sorted(glob.glob(os.path.join(args.data_path, "*_surface.nc")))
+        surf_vars = (["sp", "t2m", "u10", "v10", "d2m"],
+                     ["PSFC", "t2", "u10", "v10", "q2"])
+        work = lambda fs, tid: process_surface(fs, args.result_path, *surf_vars, tid)
+    if args.num_threads <= 0:
+        work(files, 0)
+    else:
+        pool = multiprocessing.Pool(args.num_threads)
+        n = args.num_threads
+        for i in range(n):
+            pool.apply_async(work, (files[i * len(files) // n:(i + 1) * len(files) // n], i))
+        pool.close()
+        pool.join()
