@@ -400,6 +400,52 @@ class PhysicsDataset:
             f.astype(np.float32),
         )
 
+    def get_label_cube(self, input_file: str) -> np.ndarray:
+        """Normalized ERA5 window cube [6, Hl, Wl, Tl] for device-side sampling.
+
+        Tl = window hours / label_time_step + 1; hour t lives at index
+        t / label_time_step, so integer-hour gathers reproduce the reference's
+        per-point reads (physics_dataset.py:347-368).
+        """
+        prefix, date_str, forecast_h, mode_name = self._parse_item(input_file)
+        start_time = datetime.datetime.strptime(date_str, _DATE_FMT) + datetime.timedelta(
+            hours=forecast_h
+        )
+        window_h = self.input_time_step * self.input_time_step_nums
+        steps = int(window_h / self.label_time_step) + 1
+        cube = np.zeros(
+            (len(self.obs_name_order), self.label_lat_size, self.label_lon_size, steps),
+            np.float32,
+        )
+        for i_var, key in enumerate(self.obs_name_order):
+            var_dict = self.out_variable_cfg[key]
+            var_name = var_dict["name"]
+            for s in range(steps):
+                ref_time = start_time + datetime.timedelta(hours=s * self.label_time_step)
+                lf = os.path.join(
+                    self.label_path, f"ERA5_{ref_time.strftime(_DATE_FMT)}_{var_name}.tiff"
+                )
+                img = self.read_data(lf)[:, :, 0]
+                if (not self.has_normed) and var_dict["use_norm"]:
+                    img = self.norm_data(img, var_dict["norm_factor"], var_dict["norm_type"])
+                cube[i_var, :, :, s] = img
+        return cube
+
+    def get_cube_item(self, item: int) -> dict:
+        """One window in device-sampling form (train/device_sampling.py)."""
+        input_file = self.input_files[item % len(self.input_files)]
+        field = np.concatenate(
+            [self.get_item_input(input_file), self.constant_variables], axis=0
+        )
+        _, _, forecast_h, _ = self._parse_item(input_file)
+        return {
+            "field_data": field,
+            "nwp_cube": self._nwp_cube(input_file),
+            "label_cube": self.get_label_cube(input_file),
+            "forecast_h": np.float32(forecast_h),
+            "input_file": input_file,
+        }
+
     def get_window_cubes(self, item: int):
         """Device-sampling mode: raw cubes for one window.
 

@@ -98,6 +98,7 @@ class InterfacePhysics:
         self.compute_dtype = _DTYPES[str(tpu_cfg.get("compute_dtype", "float32")).lower()]
         self.attn_impl = tpu_cfg.get("attn_impl")
         self.pde_start_step = int(tpu_cfg.get("pde_start_step", 2000))
+        self.sample_mode = str(tpu_cfg.get("sample_mode", "host"))
 
         meta = {k: v for k, v in self.meta_cfg.items() if k not in ("name",)}
         net = {k: v for k, v in self.net_cfg.items() if k not in ("name",)}
@@ -223,6 +224,15 @@ class InterfacePhysics:
             log_fp.write(f"resume from epoch {current_epoch} global_step {global_step}\n")
             state = self._restore_state(state, state_dict, tx)
 
+        # ---- on-device sampling mode: host ships cubes, points sampled in-jit ----
+        if self.sample_mode == "device" and not dist:
+            return self._run_train_device_sampling(
+                train_dataset, valid_dataset, cfg, tx, schedule, state,
+                current_epoch, global_step, num_epoch, log_step, save_step,
+                checkpoint_path, log_path, log_fp, summary, max_steps, time_step,
+                pred_t_span,
+            )
+
         # ---- compiled steps ----
         mesh = None
         if dist and len(jax.devices()) > 1:
@@ -331,6 +341,97 @@ class InterfacePhysics:
     def run_train_interface_dist(self, **kwargs):
         """Mesh data-parallel training (replaces the reference's DDP path)."""
         return self.run_train_interface(dist=True, **kwargs)
+
+    def _run_train_device_sampling(
+        self, train_dataset, valid_dataset, cfg, tx, schedule, state,
+        current_epoch, global_step, num_epoch, log_step, save_step,
+        checkpoint_path, log_path, log_fp, summary, max_steps, time_step,
+        pred_t_span,
+    ):
+        """Training loop with on-device point sampling (train/device_sampling.py).
+
+        The host only decodes files into window cubes; every optimizer step
+        draws fresh points on-device.
+        """
+        from deepphysinet_tpu.train.device_sampling import (
+            CubeBatch, SamplerConfig, make_device_sampling_train_step)
+
+        window_h = train_dataset.input_time_step * train_dataset.input_time_step_nums
+        scfg = SamplerConfig(
+            n_margin=train_dataset.label_batch_size,
+            n_inter=train_dataset.inter_batch_size,
+            window_h=window_h,
+            input_time_step=train_dataset.input_time_step,
+            begin_lat=train_dataset.begin_lat,
+            begin_lon=train_dataset.begin_lon,
+            fine_step=float(train_dataset.out_lon[1] - train_dataset.out_lon[0]),
+            coarse_step=float(train_dataset.in_lon[1] - train_dataset.in_lon[0]),
+        )
+        step = make_device_sampling_train_step(self.physics_net, tx, cfg, scfg)
+        key = jax.random.PRNGKey(int(global_step) + 1)
+        time_metric = TimeMetric()
+
+        class _CubeView:
+            def __init__(self, ds):
+                self.ds = ds
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                return self.ds.get_cube_item(i)
+
+        from deepphysinet_tpu.data.pipeline import PrefetchLoader
+
+        loader = PrefetchLoader(_CubeView(train_dataset), batch_size=1, shuffle=True,
+                                drop_last=True, num_workers=2)
+        stop = False
+        for epoch in range(current_epoch, num_epoch):
+            if stop:
+                break
+            for batch_id, data in enumerate(loader):
+                with_pde = bool(self.train_cfg.get("with_pde", True)) and \
+                    global_step >= self.pde_start_step
+                global_step += 1
+                cube = CubeBatch(
+                    field=jnp.asarray(data["field_data"], jnp.float32),
+                    forecast_h=jnp.asarray(data["forecast_h"], jnp.float32).reshape(-1),
+                    nwp_cube=jnp.asarray(data["nwp_cube"], jnp.float32),
+                    label_cube=jnp.asarray(data["label_cube"], jnp.float32),
+                )
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, cube, sub, with_pde)
+                if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
+                    m = self._fetch_metrics(metrics)
+                    fps = time_metric.get_fps(log_step)
+                    time_metric.reset()
+                    line = (f"[device-sampled] epoch:{epoch}/{num_epoch},iter:{global_step},"
+                            f"train loss:{m['total_loss']:.6f},margin:{m['margin_loss']:.6f},"
+                            f"grad:{m['grad_norm']:.3e},fps:{fps:.3f}")
+                    print(line)
+                    log_fp.write(line + "\n")
+                    log_fp.flush()
+                    for k, v in m.items():
+                        summary.add_scalar(f"training/{k}", v, global_step)
+                if max_steps and global_step >= max_steps:
+                    stop = True
+                    break
+            if epoch % save_step == 0 or stop:
+                lr = schedule(epoch + 1)
+                set_learning_rate(state.opt_state, lr)
+                ckpt.save_model(
+                    checkpoint_path, epoch, global_step,
+                    params=state.params, opt_state=state.opt_state, prefix="physics",
+                    dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,
+                    label_time_step=time_step,
+                    input_variable_cfg=self.variable_cfg,
+                    input_time_step=train_dataset.input_time_step,
+                    input_time_step_nums=train_dataset.input_time_step_nums,
+                    obs_norm_cfg=self.obs_norm_cfg,
+                )
+        log_fp.close()
+        summary.close()
+        return state
 
     def _restore_state(self, state: TrainState, state_dict: dict, tx) -> TrainState:
         params = jax.tree.map(jnp.asarray, state_dict["model"])

@@ -27,7 +27,13 @@ from deepphysinet_tpu.ops.attention import fused_attention
 
 
 class TorchDense(nn.Module):
-    """Dense layer with torch-default init and f32 params / configurable compute."""
+    """Dense layer with torch-default init and f32 params / configurable compute.
+
+    Matmuls accumulate in float32 on the MXU; the result is stored back in
+    ``compute_dtype`` (bf16 in production) so inter-layer activations cost half
+    the HBM bandwidth -- the decode path is bandwidth-bound at large point
+    batches.  Heads that need f32 outputs cast explicitly at the end.
+    """
 
     features: int
     compute_dtype: jnp.dtype = jnp.float32
@@ -42,10 +48,10 @@ class TorchDense(nn.Module):
             x.astype(self.compute_dtype),
             kernel.astype(self.compute_dtype),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(self.compute_dtype)
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(in_features), (self.features,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(self.compute_dtype)
         return y
 
 

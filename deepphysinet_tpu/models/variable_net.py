@@ -72,15 +72,15 @@ class VariableNet(nn.Module):
                 coord_pe.astype(cd),
                 w1.astype(cd),
                 preferred_element_type=jnp.float32,
-            )
-            + b1
+            ).astype(cd)
+            + b1.astype(cd)
         )
         x = nn.relu(x)
         x = (
             jnp.einsum(
                 "nh,oh->no", x.astype(cd), w2.astype(cd), preferred_element_type=jnp.float32
-            )
-            + b2
+            ).astype(cd)
+            + b2.astype(cd)
         )
 
         # Conditioning additions (variable_net.py:71-81).
@@ -96,5 +96,6 @@ class VariableNet(nn.Module):
         x = ResMLP(self.hidden_channels, cd, name="cat_fc1")(cat_x)
         x = x + cat_x
         x = TorchDense(1, cd, name="out_fc")(x)
-        # Residual on the interpolated NWP value (variable_net.py:86).
-        return x + ref_data
+        # Residual on the interpolated NWP value (variable_net.py:86); promote
+        # back to f32 for the loss / residual assembly.
+        return x.astype(jnp.float32) + ref_data.astype(jnp.float32)

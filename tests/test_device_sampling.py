@@ -1,0 +1,119 @@
+"""On-device sampling path: distribution parity with the host sampler and a
+full device-sampled training step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet
+from deepphysinet_tpu.ops.coords import CoordSpec
+from deepphysinet_tpu.ops.normalization import OBS_NAME_ORDER, norm_specs_from_cfg
+from deepphysinet_tpu.train.device_sampling import (
+    CubeBatch,
+    SamplerConfig,
+    make_device_sampling_train_step,
+    sample_window_points,
+)
+from deepphysinet_tpu.train.optim import build_optimizer
+from deepphysinet_tpu.train.train_step import StepConfig, create_train_state, Batch, PointBatch
+
+from tests.test_train_step import FACTORS, META, NET, OBS_CFG
+
+
+COORD = CoordSpec(lon_size=65, lat_size=37, dx=27000.0, dy=27000.0, pred_t_span=86400.0)
+SCFG = SamplerConfig(n_margin=256, n_inter=128, window_h=24, input_time_step=6,
+                     begin_lat=18.0, begin_lon=72.0)
+
+
+def _cubes(rng, Hc=10, Wc=17, Hl=37, Wl=65):
+    nwp = rng.randn(6, Hc, Wc, 5).astype(np.float32) * 0.1
+    label = rng.randn(6, Hl, Wl, 25).astype(np.float32) * 0.1
+    return jnp.asarray(nwp), jnp.asarray(label)
+
+
+def test_sample_distributions(rng):
+    nwp, label = _cubes(rng)
+    # coarse grid 10x17 at 1 deg spans the same bbox scaled; use matching geometry
+    scfg = SamplerConfig(n_margin=4096, n_inter=2048, window_h=24)
+    margin, inter = sample_window_points(jax.random.PRNGKey(0), nwp, label, scfg, COORD)
+    mx = np.asarray(margin.x) / COORD.dx
+    assert mx.min() >= 0 and mx.max() <= 64
+    assert np.all(mx == np.round(mx))  # integer grid points
+    mt = np.asarray(margin.t) / 3600.0
+    assert set(np.unique(mt)).issubset(set(range(25)))
+    ix = np.asarray(inter.x) / COORD.dx
+    assert not np.all(ix == np.round(ix))  # continuous
+    assert ix.max() <= 64.0
+
+    # Coriolis matches 2*Omega*sin(lat)
+    lat = 18.0 + np.asarray(margin.y) / COORD.dy * 0.25
+    f_expect = 2 * 7.29e-5 * np.sin(np.deg2rad(lat))
+    np.testing.assert_allclose(np.asarray(margin.f)[:, 0], f_expect, rtol=1e-5)
+
+
+def test_label_gather_exact(rng):
+    nwp, label = _cubes(rng)
+    margin, _ = sample_window_points(jax.random.PRNGKey(1), nwp, label, SCFG, COORD)
+    mx = (np.asarray(margin.x) / COORD.dx).astype(int)
+    my = (np.asarray(margin.y) / COORD.dy).astype(int)
+    mt = (np.asarray(margin.t) / 3600.0).astype(int)
+    lab = np.asarray(label)
+    expect = np.stack([lab[v, my, mx, mt] for v in range(6)], axis=-1)
+    np.testing.assert_allclose(np.asarray(margin.labels), expect, rtol=1e-6)
+
+
+def test_nwp_interp_matches_host(rng):
+    """Device trilinear conditioning values == the host dataset interpolator."""
+    from deepphysinet_tpu.data.dataset import _np_trilinear
+
+    nwp, label = _cubes(rng)
+    margin, _ = sample_window_points(jax.random.PRNGKey(2), nwp, label, SCFG, COORD)
+    lon = 72.0 + np.asarray(margin.x) / COORD.dx * 0.25
+    lat = 18.0 + np.asarray(margin.y) / COORD.dy * 0.25
+    th = np.arange(5) * 6.0
+    lat_grid = 18.0 + np.arange(10) * 1.0
+    lon_grid = 72.0 + np.arange(17) * 1.0
+    got = np.asarray(margin.nwp)
+    for v in range(6):
+        host = _np_trilinear(np.asarray(nwp)[v], lat_grid, lon_grid, th,
+                             lat, lon, np.asarray(margin.t) / 3600.0)
+        np.testing.assert_allclose(got[:, v], host, rtol=2e-4, atol=2e-5)
+
+
+def test_device_sampled_train_step(rng):
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    specs = norm_specs_from_cfg(OBS_CFG)
+    cfg = StepConfig(coord_spec=COORD,
+                     obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
+                     loss_factor=FACTORS)
+    tx = build_optimizer("Adam", lr=1e-3)
+    B = 2
+    nwp = jnp.asarray(rng.randn(B, 6, 10, 17, 5).astype(np.float32) * 0.1)
+    label = jnp.asarray(rng.randn(B, 6, 37, 65, 25).astype(np.float32) * 0.1)
+    cube = CubeBatch(
+        field=jnp.asarray(rng.randn(B, 12, 65).astype(np.float32)),
+        forecast_h=jnp.asarray([24.0, 48.0]),
+        nwp_cube=nwp, label_cube=label,
+    )
+    # init via an equivalent point batch
+    dummy = Batch(
+        field=cube.field, forecast_h=cube.forecast_h,
+        margin=PointBatch(
+            x=jnp.zeros((B, 8)), y=jnp.zeros((B, 8)), t=jnp.zeros((B, 8)),
+            f=jnp.zeros((B, 8, 1)), nwp=jnp.zeros((B, 8, 6)), labels=jnp.zeros((B, 8, 6))),
+        inter=PointBatch(
+            x=jnp.zeros((B, 4)), y=jnp.zeros((B, 4)), t=jnp.zeros((B, 4)),
+            f=jnp.zeros((B, 4, 1)), nwp=jnp.zeros((B, 4, 6)), labels=jnp.zeros((B, 4, 6))),
+    )
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    step = make_device_sampling_train_step(model, tx, cfg, SCFG)
+    key = jax.random.PRNGKey(42)
+    m_hist = []
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, m = step(state, cube, sub, True)
+        m_hist.append(float(m["total_loss"]))
+    assert all(np.isfinite(v) for v in m_hist)
+    # fresh randomness each step -> different sampled losses
+    assert len({round(v, 6) for v in m_hist}) > 1
