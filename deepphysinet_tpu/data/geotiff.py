@@ -255,3 +255,95 @@ def save_full_image(
 def get_geo_transform(img_file: str):
     _, geo = read_tiff(img_file)
     return geo
+
+
+# gdal_utils naming parity (utils/gdal_utils.py:229)
+def get_geoTransform(img_file: str):  # noqa: N802
+    return get_geo_transform(img_file)
+
+
+def get_image_shape(img_file: str) -> Tuple[int, int, int]:
+    """(height, width, bands), matching gdal_utils.get_image_shape usage."""
+    img, _ = read_tiff(img_file)
+    return img.shape[0], img.shape[1], img.shape[2]
+
+
+def read_image(
+    img_path: str,
+    width_offset: int,
+    height_offset: int,
+    width: int,
+    height: int,
+    scale_factor: float = 1,
+    as_rgb: bool = True,
+    data_format: str = "GDAL_FORMAT",
+    normalize: bool = True,
+    normalize_factor=16,
+    band_idx=None,
+) -> np.ndarray:
+    """Windowed read with zero-padding past the raster edge
+    (utils/gdal_utils.py:150-227).  ``scale_factor`` decimates by striding
+    (nearest), which is what GDAL's ReadAsArray resampling amounts to for the
+    integer factors the reference uses.
+    """
+    if data_format not in ("GDAL_FORMAT", "NUMPY_FORMAT"):
+        raise ValueError("data_format must be GDAL_FORMAT or NUMPY_FORMAT")
+    full, _ = read_tiff(img_path)  # [H, W, C]
+    im_h, im_w, im_bands = full.shape
+    if band_idx is not None:
+        full = full[:, :, [i - 1 for i in band_idx]]  # GDAL bands are 1-based
+        im_bands = full.shape[-1]
+
+    block_w = min(width, im_w - width_offset)
+    block_h = min(height, im_h - height_offset)
+    block = full[height_offset : height_offset + block_h,
+                 width_offset : width_offset + block_w].astype(np.float64)
+    if scale_factor != 1:
+        stride = int(scale_factor)
+        block = block[::stride, ::stride]
+    out = np.moveaxis(block, -1, 0)  # [C, h, w]
+
+    if im_bands == 1 and as_rgb:
+        out = np.tile(out, (3, 1, 1))
+    elif im_bands >= 4 and as_rgb:
+        out = out[0:3]
+
+    if normalize:
+        if isinstance(normalize_factor, int):
+            out = (out.astype(np.float32) / normalize_factor).astype(np.uint16)
+        elif len(normalize_factor) == 2:
+            lo, hi = normalize_factor
+            out = np.clip((out.astype(np.float32) - lo) / (hi - lo), 0.0, 1.0) * 255
+            out = out.astype(np.uint16)
+        else:
+            raise NotImplementedError
+        out = out.astype(np.uint8)
+
+    scale_w = int(width / scale_factor)
+    scale_h = int(height / scale_factor)
+    if out.shape[1] != scale_h or out.shape[2] != scale_w:
+        out = np.pad(out, ((0, 0), (0, scale_h - out.shape[1]), (0, scale_w - out.shape[2])),
+                     mode="constant")
+    if data_format == "NUMPY_FORMAT":
+        out = np.moveaxis(out, 0, -1)
+    return out
+
+
+# ---- geographic <-> Web Mercator transforms (utils/gdal_utils.py:344-397) ----
+# Implemented in closed form (EPSG:4326 <-> EPSG:3857); no pyproj/osr needed.
+
+_EARTH_R = 6378137.0
+
+
+def lonlat2geo(lon, lat):
+    """(lon, lat) degrees -> Web Mercator (x, y) meters."""
+    x = np.deg2rad(np.asarray(lon, np.float64)) * _EARTH_R
+    y = np.log(np.tan(np.pi / 4 + np.deg2rad(np.asarray(lat, np.float64)) / 2)) * _EARTH_R
+    return x, y
+
+
+def geo2lonlat(x, y):
+    """Web Mercator (x, y) meters -> (lon, lat) degrees."""
+    lon = np.rad2deg(np.asarray(x, np.float64) / _EARTH_R)
+    lat = np.rad2deg(2 * np.arctan(np.exp(np.asarray(y, np.float64) / _EARTH_R)) - np.pi / 2)
+    return lon, lat

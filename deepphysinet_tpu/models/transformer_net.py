@@ -56,12 +56,18 @@ class TorchDense(nn.Module):
 
 
 class AttentionLayer(nn.Module):
-    """QKV projection + fused full attention + output projection (attn.py:161-196)."""
+    """QKV projection + attention + output projection (attn.py:161-196).
+
+    ``attn_type='full'`` (default) runs the fused Pallas/XLA full attention;
+    ``attn_type='prob'`` selects the Informer ProbSparse variant the reference
+    keeps available (model/attn.py:71-158) for long token sequences.
+    """
 
     d_model: int
     n_heads: int
     compute_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    attn_type: str = "full"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -75,7 +81,15 @@ class AttentionLayer(nn.Module):
         k = k.reshape(b, l, h, e).astype(self.compute_dtype)
         v = v.reshape(b, l, h, e).astype(self.compute_dtype)
         scale = 1.0 / (e**0.5)  # attn.py:57
-        out = fused_attention(q, k, v, scale, self.attn_impl)
+        if self.attn_type == "prob":
+            from deepphysinet_tpu.ops.prob_attention import prob_attention
+            import jax
+
+            key = (self.make_rng("sample") if self.has_rng("sample")
+                   else jax.random.PRNGKey(0))
+            out = prob_attention(q, k, v, key, scale=scale)
+        else:
+            out = fused_attention(q, k, v, scale, self.attn_impl)
         out = out.reshape(b, l, h * e)
         return TorchDense(self.d_model, self.compute_dtype, name="out_projection")(out)
 
@@ -89,11 +103,13 @@ class EncoderLayer(nn.Module):
     activation: str = "gelu"
     compute_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    attn_type: str = "full"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         new_x = AttentionLayer(
-            self.d_model, self.n_heads, self.compute_dtype, self.attn_impl, name="attention"
+            self.d_model, self.n_heads, self.compute_dtype, self.attn_impl,
+            self.attn_type, name="attention"
         )(x)
         x = x + new_x
         y = x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
@@ -120,6 +136,7 @@ class TransformerNet(nn.Module):
     learnable_token_num: int = 128  # reference default (transformer_net.py:98); see SURVEY Q1
     compute_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    attn_type: str = "full"
 
     @nn.compact
     def __call__(self, x_enc: jnp.ndarray, forecast_h: jnp.ndarray) -> jnp.ndarray:
@@ -137,6 +154,7 @@ class TransformerNet(nn.Module):
                 self.activation,
                 self.compute_dtype,
                 self.attn_impl,
+                self.attn_type,
                 name=f"layer_{i}",
             )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)

@@ -1,0 +1,257 @@
+"""Fused Pallas kernel: hypernet coordinate-MLP decode + forward-mode tangents.
+
+This is the framework's hot op.  The XLA path for one residual evaluation
+streams ~[6 vars, N, 256] float activations through HBM between every layer of
+the decode (primal + 3 tangent passes) -- at reference batch sizes that is
+several GB of traffic per evaluation and the measured bottleneck.  This kernel
+keeps ALL generated + static decode weights resident in VMEM (~2.8 MB for the
+6 stacked variable nets) and pushes blocks of points through the entire layer
+chain -- generated layer 1 -> relu -> generated layer 2 -> conditioning adds ->
+ResMLP trunk -> scalar head -> +ref residual -- computing the primal AND the
+three (x, y, t) directional derivatives in the same pass.  HBM traffic drops
+to the PE inputs and the [N, 6] outputs.
+
+Math notes:
+* tangent rows share every matmul with the primal (the jvp of a dense layer is
+  the same matmul without bias); relu tangents are masked by the primal sign;
+  the conditioning adds (interpolated-NWP PE, forecast-hour PE, ref residual)
+  are constants under the space-time derivative (reference semantics: those
+  inputs are detached data -- SURVEY/train.point_fn), so they touch only the
+  primal rows.
+* the trunk skip structure gives y = F2(relu(F1 c)) + 2c (variable_net.py:82-84).
+* outputs are in normalized units; inverse normalization, clip masking, and
+  residual assembly stay in XLA (physics/engine.py) where they are cheap
+  elementwise f32 ops.
+
+The kernel is forward/eval-path only (residual evaluation, inference, bench);
+training keeps the jax.linearize path, which XLA differentiates for the
+parameter gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet
+from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+
+class DecodeWeights(NamedTuple):
+    """Stacked per-variable decode weights; generated parts depend on tokens."""
+
+    w1: jnp.ndarray  # [6, 192, 256] generated layer 1
+    b1: jnp.ndarray  # [6, 256]
+    w2: jnp.ndarray  # [6, 256, 256] generated layer 2
+    b2: jnp.ndarray  # [6, 256]
+    wd: jnp.ndarray  # [6, 192, 256] data_input_fc
+    bd: jnp.ndarray  # [6, 256]
+    fh_add: jnp.ndarray  # [6, 256] fore_h contribution (precomputed)
+    f1: jnp.ndarray  # [6, 256, 256] trunk fc1
+    g1: jnp.ndarray  # [6, 256]
+    f2: jnp.ndarray  # [6, 256, 256] trunk fc2
+    g2: jnp.ndarray  # [6, 256]
+    wo: jnp.ndarray  # [6, 256] scalar head
+    bo: jnp.ndarray  # [6]
+
+
+def extract_decode_weights(
+    model: PhysicsNet, params, tokens: jnp.ndarray, fore_h: jnp.ndarray
+) -> DecodeWeights:
+    """Materialize the effective decode weights for one window.
+
+    Reproduces VariableNet's weight generation (variable_net.py:57-65) from
+    the raw parameter tree: meta.T through coord_input_fc/coord_hidden_fc,
+    plus the static trunk weights and the precomputed forecast-hour addend.
+    """
+    vp = params["params"]["variable_nets"]
+    net_cfg = model.net_cfg
+    token_num = net_cfg["learnable_token_num"]
+    in_ch = net_cfg["in_channels"]
+    hid = net_cfg["hidden_channels"]
+
+    meta_t = tokens[0:token_num].T  # [d_model, token_num]
+
+    k1, c1 = vp["coord_input_fc"]["kernel"], vp["coord_input_fc"]["bias"]
+    gen1 = jnp.einsum("dt,vtk->vdk", meta_t, k1) + c1[:, None, :]  # [6, d, in+1]
+    w1 = jnp.swapaxes(gen1[..., :in_ch], 1, 2)  # [6, in_ch, d]
+    b1 = gen1[..., in_ch]  # [6, d]
+
+    k2, c2 = vp["coord_hidden_fc"]["kernel"], vp["coord_hidden_fc"]["bias"]
+    gen2 = jnp.einsum("dt,vtk->vdk", meta_t, k2) + c2[:, None, :]
+    w2 = jnp.swapaxes(gen2[..., :hid], 1, 2)  # [6, hid, d]
+    b2 = gen2[..., hid]
+
+    fh_freqs = make_freq_bands(in_ch // 2, max_freq=4.0)
+    fh_pe = sinecos_pe(fore_h.reshape(-1), fh_freqs, include_input=False)  # [in_ch]
+    fh_add = jnp.einsum("i,vio->vo", fh_pe, vp["fore_h_fc"]["kernel"]) + vp["fore_h_fc"]["bias"]
+
+    return DecodeWeights(
+        w1=w1, b1=b1, w2=w2, b2=b2,
+        wd=vp["data_input_fc"]["kernel"], bd=vp["data_input_fc"]["bias"],
+        fh_add=fh_add,
+        f1=vp["cat_fc1"]["fc1"]["kernel"], g1=vp["cat_fc1"]["fc1"]["bias"],
+        f2=vp["cat_fc1"]["fc2"]["kernel"], g2=vp["cat_fc1"]["fc2"]["bias"],
+        wo=vp["out_fc"]["kernel"][..., 0], bo=vp["out_fc"]["bias"][..., 0],
+    )
+
+
+def pe_and_tangents(coords: jnp.ndarray, coord_spec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SineCos PE of physical (x, y, t) and its three directional derivatives.
+
+    Closed form: PE feature (freq f, fn, channel c) differentiates to
+    f * cos / -f * sin times the channel's normalization scale -- no autodiff
+    needed.  Returns (pe [N, 192], dpe [3, N, 192]).
+    """
+    scales = jnp.array(
+        [1.0 / (coord_spec.dx * (coord_spec.lon_size - 1)),
+         1.0 / (coord_spec.dy * (coord_spec.lat_size - 1)),
+         1.0 / coord_spec.pred_t_span], jnp.float32)
+    cn = coords.astype(jnp.float32) * scales  # [N, 3] normalized
+    fb = jnp.asarray(coord_spec.freq_bands(), jnp.float32)  # [F]
+    xf = jnp.swapaxes(cn[..., :, None] * fb, -1, -2)  # [N, F, 3]
+    sin, cos = jnp.sin(xf), jnp.cos(xf)
+    pe = jnp.stack([sin, cos], axis=-2).reshape(cn.shape[0], -1)  # [N, 2F*3]
+
+    # d/d(channel k): only channel-k features nonzero
+    eye = jnp.eye(3, dtype=jnp.float32)  # [3 dirs, 3 channels]
+    dsin = cos * fb[None, :, None]  # [N, F, 3] d sin/d cn_c
+    dcos = -sin * fb[None, :, None]
+    dfeat = jnp.stack([dsin, dcos], axis=-2)  # [N, F, 2, 3]
+    # direction k: dfeat * scale_k on channel k only
+    dpe = jnp.einsum("nfsc,kc->knfsc", dfeat, eye * scales[None, :] * 1.0)
+    dpe = dpe.reshape(3, cn.shape[0], -1)
+    return pe, dpe
+
+
+def _decode_kernel(
+    pe_ref, dpe_ref, cdpe_ref, ref_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, wd_ref, bd_ref, fh_ref,
+    f1_ref, g1_ref, f2_ref, g2_ref, wo_ref, bo_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, cdt,
+):
+    """One point block through the full decode + 3 tangents for all variables.
+
+    Matmul inputs stay in ``cdt`` (bf16 in production) for full MXU rate with
+    f32 accumulation; elementwise math between dots runs in f32.
+    """
+    f32 = jnp.float32
+    P_in = pe_ref[...]  # [Nb, in_ch] cdt
+    T_in = dpe_ref[...].reshape(3 * block_n, -1)  # [3Nb, in_ch] cdt
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    primal_cols = []
+    tang_cols = []
+    for v in range(n_vars):
+        w1 = w1_ref[v]
+        z = dot(P_in, w1) + b1_ref[v][None, :]
+        tz = dot(T_in, w1)
+        mask = (z > 0).astype(f32)
+        p = jnp.maximum(z, 0.0)
+        t = tz * jnp.concatenate([mask, mask, mask], axis=0)
+
+        w2 = w2_ref[v]
+        p = dot(p, w2) + b2_ref[v][None, :]
+        t = dot(t, w2)
+
+        cd = dot(CD, wd_ref[v]) + bd_ref[v][None, :]
+        c = p + cd + fh_ref[v][None, :]
+        tc = t  # conditioning adds are constant under d/dx
+
+        f1 = f1_ref[v]
+        r = dot(c, f1) + g1_ref[v][None, :]
+        tr = dot(tc, f1)
+        maskr = (r > 0).astype(f32)
+        pr = jnp.maximum(r, 0.0)
+        tr = tr * jnp.concatenate([maskr, maskr, maskr], axis=0)
+
+        f2 = f2_ref[v]
+        y = dot(pr, f2) + g2_ref[v][None, :] + 2.0 * c  # trunk skip structure
+        ty = dot(tr, f2) + 2.0 * tc
+
+        # scalar head as broadcast-multiply + lane reduction (a [hid, 1] matmul
+        # would need an unsupported bf16 minor-dim reshape in Mosaic)
+        wo = wo_ref[v][None, :].astype(f32)  # [1, hid]
+        o = jnp.sum(y * wo, axis=-1) + bo_ref[v] + ref_ref[:, v]  # [Nb]
+        to = jnp.sum(ty * wo, axis=-1)  # [3Nb]
+        primal_cols.append(o[:, None])
+        tang_cols.append(to.reshape(3, block_n)[:, :, None])
+
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1)
+
+
+def fused_decode_jvp(
+    weights: DecodeWeights,
+    pe: jnp.ndarray,  # [N, in_ch] f32
+    dpe: jnp.ndarray,  # [3, N, in_ch] f32
+    cd_pe: jnp.ndarray,  # [N, in_ch] f32
+    ref: jnp.ndarray,  # [N, 6] normalized conditioning values (residual head)
+    block_n: int = 512,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primal [N, 6] and tangents [3, N, 6] (normalized units, d/d physical)."""
+    n, in_ch = pe.shape
+    n_vars = weights.w1.shape[0]
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+        dpe = jnp.pad(dpe, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        ref = jnp.pad(ref, ((0, pad), (0, 0)))
+    n_pad = pe.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    wt = [weights.w1.astype(cd), weights.b1.astype(jnp.float32),
+          weights.w2.astype(cd), weights.b2.astype(jnp.float32),
+          weights.wd.astype(cd), weights.bd.astype(jnp.float32),
+          weights.fh_add.astype(jnp.float32),
+          weights.f1.astype(cd), weights.g1.astype(jnp.float32),
+          weights.f2.astype(cd), weights.g2.astype(jnp.float32),
+          weights.wo.astype(cd), weights.bo.astype(jnp.float32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(_decode_kernel, block_n=block_n, n_vars=n_vars, cdt=cd)
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_vars), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad, n_vars), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, in_ch), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd), ref.astype(jnp.float32), *wt)
+    return primal[:n], tang[:, :n]

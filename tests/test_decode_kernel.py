@@ -1,0 +1,116 @@
+"""Fused decode kernel: parity with the jax.linearize engine (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet
+from deepphysinet_tpu.ops.coords import CoordSpec, encode_coord
+from deepphysinet_tpu.ops.decode_kernel import (
+    extract_decode_weights,
+    fused_decode_jvp,
+    pe_and_tangents,
+)
+from deepphysinet_tpu.ops.normalization import OBS_NAME_ORDER, norm_specs_from_cfg
+from deepphysinet_tpu.physics.engine import (
+    fused_kernel_fields,
+    linearized_fields,
+    pde_residual_losses,
+    residual_losses_from_fields,
+)
+from deepphysinet_tpu.train.point_fn import make_phys_fn
+
+from tests.test_train_step import FACTORS, OBS_CFG
+
+META = dict(enc_in=65, c_out=256, d_model=256, n_heads=4, e_layers=1, d_ff=64,
+            activation="gelu", learnable_token_num=8)
+NET = dict(in_channels=192, hidden_channels=256, learnable_token_num=16)
+COORD = CoordSpec(lon_size=257, lat_size=145, dx=27000.0, dy=27000.0, pred_t_span=86400.0)
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    field = jnp.asarray(rng.randn(1, 12, 65), jnp.float32)
+    fh = jnp.array([[0.1]])
+    pe = jnp.ones((4, 192))
+    cd = jnp.ones((4, 6))
+    params = model.init(jax.random.PRNGKey(0), field, pe, cd, fh)
+    tokens = model.apply(params, field, fh, method=PhysicsNet.encode)[0]
+    return model, params, tokens
+
+
+def test_pe_and_tangents_match_autodiff(rng):
+    coords = jnp.asarray(rng.rand(16, 3) * np.array([27000 * 200, 27000 * 100, 80000]),
+                         jnp.float32)
+    pe, dpe = pe_and_tangents(coords, COORD)
+    ref_pe = encode_coord(coords[:, 0], coords[:, 1], coords[:, 2], COORD)
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(ref_pe), rtol=1e-5, atol=1e-5)
+
+    def f(c):
+        return encode_coord(c[:, 0], c[:, 1], c[:, 2], COORD)
+
+    for k in range(3):
+        tangent = jnp.zeros_like(coords).at[:, k].set(1.0)
+        _, jv = jax.jvp(f, (coords,), (tangent,))
+        np.testing.assert_allclose(np.asarray(dpe[k]), np.asarray(jv), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_decode_matches_linearize(setup, rng):
+    """Kernel primal+tangents == jax.linearize through the real decode (f32)."""
+    model, params, tokens = setup
+    n = 64
+    coords = jnp.asarray(
+        np.stack([rng.rand(n) * 27000 * 256, rng.rand(n) * 27000 * 144,
+                  rng.randint(0, 25, n) * 3600.0], -1), jnp.float32)
+    coord_data = jnp.asarray(rng.randn(n, 6) * 0.1, jnp.float32)
+    fore_h = jnp.array([0.1], jnp.float32)
+
+    # reference: linearize through the decode in *normalized* units
+    def norm_fn(c):
+        pe = encode_coord(c[:, 0], c[:, 1], c[:, 2], COORD)
+        return model.apply(params, tokens, pe, coord_data, fore_h,
+                           method=PhysicsNet.decode)
+
+    primal_ref, lin = jax.linearize(norm_fn, coords)
+    tang_ref = [lin(jnp.zeros_like(coords).at[:, k].set(1.0)) for k in range(3)]
+
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    pe, dpe = pe_and_tangents(coords, COORD)
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+    cd_pe = sinecos_pe(coord_data, make_freq_bands(16, 4.0), include_input=False)
+    primal, tang = fused_decode_jvp(weights, pe, dpe, cd_pe, coord_data,
+                                    block_n=32, interpret=True,
+                                    compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(primal), np.asarray(primal_ref),
+                               rtol=2e-4, atol=2e-5)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(tang[k]), np.asarray(tang_ref[k]),
+                                   rtol=2e-3, atol=1e-7)
+
+
+def test_fused_residual_losses_match_engine(setup, rng):
+    """End-to-end: kernel-path residual losses == linearize-path losses."""
+    model, params, tokens = setup
+    specs = norm_specs_from_cfg(OBS_CFG)
+    obs_specs = tuple(specs[k] for k in OBS_NAME_ORDER)
+    n = 64
+    coords = jnp.asarray(
+        np.stack([rng.rand(n) * 27000 * 256, rng.rand(n) * 27000 * 144,
+                  rng.randint(0, 25, n) * 3600.0], -1), jnp.float32)
+    coord_data = jnp.asarray(rng.randn(n, 6) * 0.1, jnp.float32)
+    fore_h = jnp.array([0.1], jnp.float32)
+    f = jnp.asarray(1e-4 * rng.rand(n, 1), jnp.float32)
+
+    phys_fn = make_phys_fn(model, params, tokens, coord_data, fore_h, COORD,
+                           obs_specs, with_clip=True)
+    ref_losses = pde_residual_losses(phys_fn, coords, f, FACTORS)
+
+    fd = fused_kernel_fields(model, params, tokens, coords, coord_data, fore_h,
+                             COORD, obs_specs, with_clip=True, interpret=True)
+    got_losses = residual_losses_from_fields(fd, f, FACTORS)
+    for k in ref_losses:
+        np.testing.assert_allclose(float(got_losses[k]), float(ref_losses[k]),
+                                   rtol=5e-3, err_msg=k)
