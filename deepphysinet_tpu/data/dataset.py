@@ -308,7 +308,20 @@ class PhysicsDataset:
         return np.stack(cubes, axis=0).astype(np.float32)
 
     def _interp_cube_at(self, cube6, lon_p, lat_p, t_p) -> np.ndarray:
-        """[6, H, W, T] cube -> [N, 6] at scattered (lon, lat, t-hours) points."""
+        """[6, H, W, T] cube -> [N, 6] at scattered (lon, lat, t-hours) points.
+
+        Uses the threaded C++ kernel (deepphysinet_tpu.native) when built;
+        falls back to numpy.
+        """
+        from deepphysinet_tpu import native
+
+        if native.available():
+            return native.trilinear(
+                cube6, np.asarray(lon_p), np.asarray(lat_p), np.asarray(t_p),
+                lon0=float(self.in_lon[0]), dlon=float(self.in_lon[1] - self.in_lon[0]),
+                lat0=float(self.in_lat[0]), dlat=float(self.in_lat[1] - self.in_lat[0]),
+                t0=0.0, dt=float(self.input_time_step),
+            )
         th = np.arange(cube6.shape[-1]) * self.input_time_step
         cols = [
             _np_trilinear(cube6[v], self.in_lat, self.in_lon, th, lat_p, lon_p, t_p)
