@@ -90,10 +90,12 @@ def main() -> None:
 
     # ---- primary: pure residual-evaluation engine ----
     from deepphysinet_tpu.models.physics_net import PhysicsNet
-    from deepphysinet_tpu.physics.engine import pde_residual_losses
+    from deepphysinet_tpu.physics.engine import (
+        fused_kernel_fields, pde_residual_losses, residual_losses_from_fields)
     from deepphysinet_tpu.train.point_fn import make_phys_fn
 
-    n_eval = 49152  # residual-eval batch (points are independent; large = MXU-friendly)
+    use_kernel = jax.default_backend() == "tpu"
+    n_eval = 98304  # residual-eval batch (points are independent; large = MXU-friendly)
     coords = jnp.asarray(
         np.stack([
             rng.rand(n_eval) * 27000 * (lon_size - 1),
@@ -109,6 +111,11 @@ def main() -> None:
     def residual_eval(params, coords, nwp, f):
         tokens = model.apply(params, batch.field, jnp.asarray([[24.0 / 360.0]]),
                              method=PhysicsNet.encode)
+        if use_kernel:  # fused Pallas decode+jvp kernel (ops/decode_kernel.py)
+            fd = fused_kernel_fields(model, params, tokens[0], coords, nwp,
+                                     fh_norm, step_cfg.coord_spec,
+                                     step_cfg.obs_specs, with_clip=True)
+            return residual_losses_from_fields(fd, f, factors)["total"]
         phys_fn = make_phys_fn(model, params, tokens[0], nwp, fh_norm,
                                step_cfg.coord_spec, step_cfg.obs_specs, with_clip=True)
         return pde_residual_losses(phys_fn, coords, f, factors)["total"]

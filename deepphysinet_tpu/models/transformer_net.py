@@ -120,6 +120,38 @@ class EncoderLayer(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + y)
 
 
+class EncoderStack(nn.Module):
+    """Informer-style pyramid of encoders on progressively halved inputs
+    (transformer_net.py:75-92 -- present-but-unused in the reference; kept for
+    inventory parity and long-sequence configurations).
+
+    ``inp_lens[i]`` halves the input i times for encoder i; outputs concat on
+    the token axis.
+    """
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    e_layers: int
+    inp_lens: tuple = (0, 1)
+    activation: str = "gelu"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        outs = []
+        for i, i_len in enumerate(self.inp_lens):
+            inp_len = x.shape[1] // (2**i_len)
+            y = x[:, -inp_len:, :]
+            for j in range(self.e_layers):
+                y = EncoderLayer(
+                    self.d_model, self.n_heads, self.d_ff, self.activation,
+                    self.compute_dtype, name=f"stack_{i}_layer_{j}",
+                )(y)
+            outs.append(y)
+        return jnp.concatenate(outs, axis=1)
+
+
 class TransformerNet(nn.Module):
     """The full encoder (transformer_net.py:95-129).
 

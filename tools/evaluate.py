@@ -1,0 +1,66 @@
+"""CLI: ERA5-validation RMSE of a trained checkpoint.
+
+  python tools/evaluate.py --config_file configs/X.py [--checkpoint PATH]
+                           [--max_windows N] [--split valid_data]
+
+Prints a JSON dict of per-variable RMSE/bias in physical units.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--max_windows", type=int, default=None)
+    parser.add_argument("--split", type=str, default="valid_data",
+                        choices=["train_data", "valid_data"])
+    parser.add_argument("--points_per_window", type=int, default=20480)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+    import jax
+
+    from deepphysinet_tpu.config import Config
+    from deepphysinet_tpu.data.dataset import PhysicsDataset
+    from deepphysinet_tpu.eval.rmse import evaluate_rmse
+    from deepphysinet_tpu.interface.build import builder_models
+    from deepphysinet_tpu.train import checkpoint as ckpt
+
+    cfg = Config.fromfile(args.config_file)
+    interface = builder_models(**cfg["config"])
+    tc = interface.train_cfg
+    interface.dx = float(tc["dx"])
+    interface.dy = float(tc["dy"])
+
+    ckpt_path = args.checkpoint or tc["checkpoints"]["checkpoints_path"]
+    state_dict, epoch, step = ckpt.load_model(ckpt_path, prefix="physics")
+    if state_dict is None:
+        raise SystemExit(f"no checkpoint at {ckpt_path}")
+    params = jax.tree.map(jnp.asarray, state_dict["model"])
+
+    dataset = PhysicsDataset(
+        **tc[args.split], input_variable_cfg=interface.variable_cfg,
+        out_variable_cfg=interface.obs_norm_cfg, dx=interface.dx, dy=interface.dy,
+    )
+    window_h = dataset.input_time_step * dataset.input_time_step_nums
+    step_cfg = interface._step_cfg(float(window_h * 3600), dataset.forecast_time_period)
+
+    metrics = evaluate_rmse(
+        interface.physics_net, params, step_cfg, dataset,
+        max_windows=args.max_windows, points_per_window=args.points_per_window,
+    )
+    metrics["epoch"] = epoch - 1
+    metrics["global_step"] = step
+    print(json.dumps({k: round(v, 6) if isinstance(v, float) else v
+                      for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()
