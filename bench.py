@@ -130,8 +130,10 @@ def main() -> None:
         _ = float(out)
         return time.monotonic() - t0
 
-    te1, te2 = timed_eval(20), timed_eval(120)
-    eval_time = (te2 - te1) / 100.0
+    # fetch-time variance through the tunnel is ~seconds; 1000 differenced
+    # iterations push the slope noise below 1%
+    te1, te2 = timed_eval(50), timed_eval(1050)
+    eval_time = (te2 - te1) / 1000.0
     evals_per_sec = n_eval / max(eval_time, 1e-9)
 
     # ---- secondary: full training step (stderr context) ----
@@ -146,8 +148,8 @@ def main() -> None:
         _ = float(m["total_loss"])  # one fetch forces the whole chain
         return time.monotonic() - t0
 
-    t1, t2 = timed_run(10), timed_run(60)
-    step_time = (t2 - t1) / 50.0
+    t1, t2 = timed_run(20), timed_run(220)
+    step_time = (t2 - t1) / 200.0
     train_evals = (n_margin + n_inter) * B / max(step_time, 1e-9)
     print(f"context: train_step={step_time*1e3:.2f} ms "
           f"({train_evals/1e6:.2f}M pts/s incl. grad+Adam); "

@@ -259,6 +259,11 @@ class InterfacePhysics:
         set_learning_rate(state.opt_state, lr)
         print("set lr to:", lr)
 
+        # Preemption-safe checkpointing: SIGTERM triggers a mid-epoch save of
+        # physics_latest (the reference can only resume from epoch boundaries).
+        preempted = {"flag": False}
+        self._install_preemption_handler(preempted)
+
         valid_iter: Iterator = iter(valid_loader)
         stop = False
         for epoch in range(current_epoch, num_epoch):
@@ -311,6 +316,13 @@ class InterfacePhysics:
                                           os.path.join(vis_path, "train_results"),
                                           global_step, with_pde)
 
+                if preempted["flag"]:
+                    print(f"preemption: saving checkpoint at step {global_step}")
+                    ckpt.save_model(checkpoint_path, epoch, global_step,
+                                    params=state.params, opt_state=state.opt_state,
+                                    prefix="physics")
+                    stop = True
+                    break
                 if max_steps and global_step >= max_steps:
                     stop = True
                     break
@@ -341,6 +353,23 @@ class InterfacePhysics:
     def run_train_interface_dist(self, **kwargs):
         """Mesh data-parallel training (replaces the reference's DDP path)."""
         return self.run_train_interface(dist=True, **kwargs)
+
+    @staticmethod
+    def _install_preemption_handler(flag: dict) -> None:
+        """SIGTERM -> finish the current step, checkpoint, exit cleanly."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def handler(signum, frame):
+            flag["flag"] = True
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except (ValueError, OSError):
+            pass
 
     def _run_train_device_sampling(
         self, train_dataset, valid_dataset, cfg, tx, schedule, state,

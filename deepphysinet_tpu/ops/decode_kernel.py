@@ -114,7 +114,9 @@ def pe_and_tangents(coords: jnp.ndarray, coord_spec) -> Tuple[jnp.ndarray, jnp.n
 
     Closed form: PE feature (freq f, fn, channel c) differentiates to
     f * cos / -f * sin times the channel's normalization scale -- no autodiff
-    needed.  Returns (pe [N, 192], dpe [3, N, 192]).
+    needed.  The direction-k derivative touches ONLY channel-k features (64 of
+    192), so tangents are returned **compact**: (pe [N, 2F*3],
+    dpe [3, N, 2F]), ordered (freq, fn) to match ``w1[k::3]`` row slices.
     """
     scales = jnp.array(
         [1.0 / (coord_spec.dx * (coord_spec.lon_size - 1)),
@@ -126,20 +128,26 @@ def pe_and_tangents(coords: jnp.ndarray, coord_spec) -> Tuple[jnp.ndarray, jnp.n
     sin, cos = jnp.sin(xf), jnp.cos(xf)
     pe = jnp.stack([sin, cos], axis=-2).reshape(cn.shape[0], -1)  # [N, 2F*3]
 
-    # d/d(channel k): only channel-k features nonzero
-    eye = jnp.eye(3, dtype=jnp.float32)  # [3 dirs, 3 channels]
-    dsin = cos * fb[None, :, None]  # [N, F, 3] d sin/d cn_c
+    dsin = cos * fb[None, :, None]  # [N, F, 3] = d sin/d cn_c for channel c
     dcos = -sin * fb[None, :, None]
-    dfeat = jnp.stack([dsin, dcos], axis=-2)  # [N, F, 2, 3]
-    # direction k: dfeat * scale_k on channel k only
-    dpe = jnp.einsum("nfsc,kc->knfsc", dfeat, eye * scales[None, :] * 1.0)
+    dfeat = jnp.stack([dsin, dcos], axis=-2)  # [N, F, {sin,cos}, 3]
+    # direction k -> channel-k column, scaled; compact [N, 2F] per direction
+    dpe = jnp.moveaxis(dfeat, -1, 0) * scales[:, None, None, None]  # [3, N, F, 2]
     dpe = dpe.reshape(3, cn.shape[0], -1)
     return pe, dpe
 
 
+def slice_tangent_weights(w1: jnp.ndarray) -> jnp.ndarray:
+    """Channel-sliced rows of the generated layer-1 weights for the sparse
+    tangent matmuls: [6, in_ch, hid] -> [6, 3, in_ch//3, hid] where slice k
+    holds rows k, k+3, k+6, ... (feature index = f*6 + s*3 + c)."""
+    v, in_ch, hid = w1.shape
+    return jnp.stack([w1[:, k::3, :] for k in range(3)], axis=1)
+
+
 def _decode_kernel(
     pe_ref, dpe_ref, cdpe_ref, ref_ref,
-    w1_ref, b1_ref, w2_ref, b2_ref, wd_ref, bd_ref, fh_ref,
+    w1_ref, w1c_ref, b1_ref, w2_ref, b2_ref, wd_ref, bd_ref, fh_ref,
     f1_ref, g1_ref, f2_ref, g2_ref, wo_ref, bo_ref,
     primal_ref, tang_ref,
     *, block_n: int, n_vars: int, cdt,
@@ -147,11 +155,13 @@ def _decode_kernel(
     """One point block through the full decode + 3 tangents for all variables.
 
     Matmul inputs stay in ``cdt`` (bf16 in production) for full MXU rate with
-    f32 accumulation; elementwise math between dots runs in f32.
+    f32 accumulation; elementwise math between dots runs in f32.  Tangent
+    layer-1 exploits PE-derivative sparsity: direction k multiplies only the
+    channel-k weight rows (w1c), a 3x FLOP/traffic cut on that matmul.
     """
     f32 = jnp.float32
     P_in = pe_ref[...]  # [Nb, in_ch] cdt
-    T_in = dpe_ref[...].reshape(3 * block_n, -1)  # [3Nb, in_ch] cdt
+    T_in = dpe_ref[...]  # [3, Nb, in_ch//3] cdt (compact per direction)
     CD = cdpe_ref[...]  # [Nb, in_ch] cdt
 
     def dot(a, w):
@@ -164,7 +174,9 @@ def _decode_kernel(
     for v in range(n_vars):
         w1 = w1_ref[v]
         z = dot(P_in, w1) + b1_ref[v][None, :]
-        tz = dot(T_in, w1)
+        tz = jnp.concatenate(
+            [dot(T_in[k], w1c_ref[v, k]) for k in range(3)], axis=0
+        )  # [3Nb, hid]
         mask = (z > 0).astype(f32)
         p = jnp.maximum(z, 0.0)
         t = tz * jnp.concatenate([mask, mask, mask], axis=0)
@@ -203,7 +215,7 @@ def _decode_kernel(
 def fused_decode_jvp(
     weights: DecodeWeights,
     pe: jnp.ndarray,  # [N, in_ch] f32
-    dpe: jnp.ndarray,  # [3, N, in_ch] f32
+    dpe: jnp.ndarray,  # [3, N, in_ch//3] f32 (compact per-direction tangents)
     cd_pe: jnp.ndarray,  # [N, in_ch] f32
     ref: jnp.ndarray,  # [N, 6] normalized conditioning values (residual head)
     block_n: int = 512,
@@ -212,6 +224,7 @@ def fused_decode_jvp(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Primal [N, 6] and tangents [3, N, 6] (normalized units, d/d physical)."""
     n, in_ch = pe.shape
+    ch = dpe.shape[-1]  # in_ch // 3
     n_vars = weights.w1.shape[0]
     if n % block_n != 0:
         pad = block_n - n % block_n
@@ -223,7 +236,8 @@ def fused_decode_jvp(
     grid = (n_pad // block_n,)
 
     cd = compute_dtype
-    wt = [weights.w1.astype(cd), weights.b1.astype(jnp.float32),
+    w1c = slice_tangent_weights(weights.w1)
+    wt = [weights.w1.astype(cd), w1c.astype(cd), weights.b1.astype(jnp.float32),
           weights.w2.astype(cd), weights.b2.astype(jnp.float32),
           weights.wd.astype(cd), weights.bd.astype(jnp.float32),
           weights.fh_add.astype(jnp.float32),
@@ -244,7 +258,7 @@ def fused_decode_jvp(
         ),
         in_specs=[
             pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
-            pl.BlockSpec((3, block_n, in_ch), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, ch), lambda i: (0, i, 0), memory_space=mem),
             pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
             pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
         ] + [full() for _ in wt],
@@ -255,3 +269,82 @@ def fused_decode_jvp(
         interpret=interpret,
     )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd), ref.astype(jnp.float32), *wt)
     return primal[:n], tang[:, :n]
+
+
+def decode_jvp_xla(
+    weights: DecodeWeights,
+    pe: jnp.ndarray,
+    dpe: jnp.ndarray,  # [3, N, in_ch//3] compact
+    cd_pe: jnp.ndarray,
+    ref: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA twin of the fused kernel: identical math in plain jnp ops.
+
+    Serves as (a) the CPU fallback, (b) the function whose VJP backs the
+    kernel's custom gradient (fused_decode_jvp_trainable).
+    """
+    cdt = compute_dtype
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jnp.einsum("...i,io->...o", a.astype(cdt), w.astype(cdt),
+                          preferred_element_type=f32)
+
+    w1c = slice_tangent_weights(weights.w1)  # [6, 3, ch, hid]
+    primal_cols, tang_cols = [], []
+    n = pe.shape[0]
+    for v in range(weights.w1.shape[0]):
+        z = dot(pe, weights.w1[v]) + weights.b1[v]
+        tz = jnp.stack([dot(dpe[k], w1c[v, k]) for k in range(3)], 0)  # [3, N, hid]
+        mask = (z > 0).astype(f32)
+        p = jnp.maximum(z, 0.0)
+        t = tz * mask[None]
+        p2 = dot(p, weights.w2[v]) + weights.b2[v]
+        t2 = dot(t, weights.w2[v])
+        cdv = dot(cd_pe, weights.wd[v]) + weights.bd[v]
+        c = p2 + cdv + weights.fh_add[v]
+        tc = t2
+        r = dot(c, weights.f1[v]) + weights.g1[v]
+        tr = dot(tc, weights.f1[v]) * (r > 0).astype(f32)[None]
+        y = dot(jnp.maximum(r, 0.0), weights.f2[v]) + weights.g2[v] + 2.0 * c
+        ty = dot(tr, weights.f2[v]) + 2.0 * tc
+        wo = weights.wo[v].astype(f32)
+        primal_cols.append(jnp.sum(y * wo, -1) + weights.bo[v] + ref[:, v])
+        tang_cols.append(jnp.sum(ty * wo, -1))
+    primal = jnp.stack(primal_cols, -1)  # [N, 6]
+    tang = jnp.stack(tang_cols, -1)  # [3, N, 6]
+    return primal, tang
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_decode_jvp_trainable(weights, pe, dpe, cd_pe, ref,
+                               block_n=512, compute_dtype=jnp.bfloat16):
+    """Differentiable fused decode: Pallas kernel forward, XLA-twin backward.
+
+    Lets the *training* step use the kernel for its forward residual
+    evaluation; the parameter gradient recomputes through the XLA twin
+    (standard recompute-in-backward trade: no extra residual memory).
+    Falls back to the twin entirely off-TPU.
+    """
+    if _HAS_PLTPU and jax.default_backend() == "tpu":
+        return fused_decode_jvp(weights, pe, dpe, cd_pe, ref,
+                                block_n=block_n, compute_dtype=compute_dtype)
+    return decode_jvp_xla(weights, pe, dpe, cd_pe, ref, compute_dtype)
+
+
+def _fused_trainable_fwd(weights, pe, dpe, cd_pe, ref, block_n, compute_dtype):
+    out = fused_decode_jvp_trainable(weights, pe, dpe, cd_pe, ref, block_n, compute_dtype)
+    return out, (weights, pe, dpe, cd_pe, ref)
+
+
+def _fused_trainable_bwd(block_n, compute_dtype, res, g):
+    weights, pe, dpe, cd_pe, ref = res
+    _, vjp = jax.vjp(
+        lambda w, a, b, c, r: decode_jvp_xla(w, a, b, c, r, compute_dtype),
+        weights, pe, dpe, cd_pe, ref,
+    )
+    return vjp(g)
+
+
+fused_decode_jvp_trainable.defvjp(_fused_trainable_fwd, _fused_trainable_bwd)

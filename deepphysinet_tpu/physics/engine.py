@@ -97,38 +97,18 @@ def residual_losses_from_fields(
     return losses
 
 
-def fused_kernel_fields(
-    model,
-    params,
-    tokens: jnp.ndarray,  # [T, D]
-    coords: jnp.ndarray,  # [N, 3] physical
-    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
-    fore_h: jnp.ndarray,  # [1]
-    coord_spec,
+def fields_from_primal_tangents(
+    primal: jnp.ndarray,  # [N, 6] normalized-unit decode outputs
+    tang: jnp.ndarray,  # [3, N, 6] d(normalized)/d(physical x, y, t)
     obs_specs,
-    with_clip: bool = True,
-    interpret: bool = False,
+    with_clip: bool,
 ) -> FieldDerivatives:
-    """Fields + derivatives via the fused Pallas decode kernel (eval path).
+    """Inverse-normalization chain rule + clip masking -> physical fields/derivs.
 
-    The kernel returns normalized-unit primal and d/d(physical) tangents; the
-    inverse-normalization chain rule (d phys = std * d norm for mean_norm) and
-    the clip's zero-gradient-outside-bounds masking are applied here, so the
-    result matches the jax.linearize path bit-for-bit in structure.
+    For mean_norm, d(phys)/dx = std * d(norm)/dx; where the clip is active the
+    derivative is zero (torch.clip semantics, matching the linearize path).
     """
-    from deepphysinet_tpu.ops.decode_kernel import (
-        extract_decode_weights, fused_decode_jvp, pe_and_tangents)
-    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
     from deepphysinet_tpu.ops.normalization import inverse_normalize
-
-    weights = extract_decode_weights(model, params, tokens, fore_h)
-    pe, dpe = pe_and_tangents(coords, coord_spec)
-    in_ch = model.net_cfg["in_channels"]
-    cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)
-    cd_pe = sinecos_pe(coord_data, cd_freqs, include_input=False)
-    primal, tang = fused_decode_jvp(weights, pe, dpe, cd_pe, coord_data,
-                                    interpret=interpret,
-                                    compute_dtype=model.compute_dtype)
 
     clipped = (False, False, True, True, True, True)  # u, v never clip
     fields, derivs = {}, {}
@@ -137,7 +117,6 @@ def fused_kernel_fields(
         p_norm = primal[:, i : i + 1]
         clip = with_clip and clipped[i] and spec.bound is not None
         p_phys = inverse_normalize(p_norm, spec, with_clip=clip)
-        # mean_norm chain rule; zero tangent where the clip is active
         std = jnp.asarray(spec.norm_factor[1], jnp.float32)
         scale = std
         if clip:
@@ -151,6 +130,53 @@ def fused_kernel_fields(
             "t": tang[2, :, i : i + 1] * scale,
         }
     return FieldDerivatives(fields=fields, derivs=derivs)
+
+
+def _kernel_inputs(model, params, tokens, coords, coord_data, fore_h, coord_spec):
+    from deepphysinet_tpu.ops.decode_kernel import extract_decode_weights, pe_and_tangents
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    pe, dpe = pe_and_tangents(coords, coord_spec)
+    in_ch = model.net_cfg["in_channels"]
+    cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)
+    cd_pe = sinecos_pe(coord_data, cd_freqs, include_input=False)
+    return weights, pe, dpe, cd_pe
+
+
+def fused_kernel_fields(
+    model,
+    params,
+    tokens: jnp.ndarray,  # [T, D]
+    coords: jnp.ndarray,  # [N, 3] physical
+    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
+    fore_h: jnp.ndarray,  # [1]
+    coord_spec,
+    obs_specs,
+    with_clip: bool = True,
+    interpret: bool = False,
+    trainable: bool = False,
+) -> FieldDerivatives:
+    """Fields + derivatives via the fused Pallas decode kernel.
+
+    ``trainable=True`` routes through the custom-VJP wrapper so the result can
+    sit inside a differentiated training loss (kernel forward, XLA-twin
+    backward); otherwise the plain eval kernel runs.
+    """
+    from deepphysinet_tpu.ops.decode_kernel import (
+        fused_decode_jvp, fused_decode_jvp_trainable)
+
+    weights, pe, dpe, cd_pe = _kernel_inputs(
+        model, params, tokens, coords, coord_data, fore_h, coord_spec)
+    coord_data = jax.lax.stop_gradient(coord_data)
+    if trainable:
+        primal, tang = fused_decode_jvp_trainable(
+            weights, pe, dpe, cd_pe, coord_data, 512, model.compute_dtype)
+    else:
+        primal, tang = fused_decode_jvp(weights, pe, dpe, cd_pe, coord_data,
+                                        interpret=interpret,
+                                        compute_dtype=model.compute_dtype)
+    return fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
 
 def pde_residual_losses(

@@ -76,6 +76,9 @@ class StepConfig:
     grad_clip_norm: float = 2.5e7
     pde_start_step: int = 2000
     constants: PhysicalConstants = DEFAULT_CONSTANTS
+    # 'linearize' = pure-XLA forward-mode engine; 'kernel' = fused Pallas
+    # decode+jvp forward with XLA-twin backward (TPU only)
+    pde_engine: str = "linearize"
 
     def factors(self) -> Dict[str, float]:
         return dict(self.loss_factor)
@@ -102,15 +105,25 @@ def _window_losses(
 
     if with_pde:
         # --- PDE residuals at collocation and labeled points (:476-498) ---
+        from deepphysinet_tpu.physics.engine import (
+            fused_kernel_fields, residual_losses_from_fields)
+
         for prefix, pts in (("inter", inter), ("margin", margin)):
-            phys_fn = make_phys_fn(
-                model, params, tokens, pts.nwp, fore_h, cfg.coord_spec, cfg.obs_specs,
-                with_clip=True,
-            )
             coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
-            losses = pde_residual_losses(
-                phys_fn, coords, pts.f, factors, cfg.constants
-            )
+            if cfg.pde_engine == "kernel":
+                fd = fused_kernel_fields(
+                    model, params, tokens, coords, pts.nwp, fore_h,
+                    cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
+                )
+                losses = residual_losses_from_fields(fd, pts.f, factors, cfg.constants)
+            else:
+                phys_fn = make_phys_fn(
+                    model, params, tokens, pts.nwp, fore_h, cfg.coord_spec,
+                    cfg.obs_specs, with_clip=True,
+                )
+                losses = pde_residual_losses(
+                    phys_fn, coords, pts.f, factors, cfg.constants
+                )
             for k, v in losses.items():
                 out[f"{prefix}_{k}"] = v
     return out

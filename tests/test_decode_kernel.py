@@ -54,7 +54,13 @@ def test_pe_and_tangents_match_autodiff(rng):
     for k in range(3):
         tangent = jnp.zeros_like(coords).at[:, k].set(1.0)
         _, jv = jax.jvp(f, (coords,), (tangent,))
-        np.testing.assert_allclose(np.asarray(dpe[k]), np.asarray(jv), rtol=1e-4, atol=1e-6)
+        jv = np.asarray(jv)
+        # direction-k derivative is nonzero only on channel-k features
+        # (dense index = (f*2 + s)*3 + c); dpe is the compact [N, 2F] form
+        np.testing.assert_allclose(np.asarray(dpe[k]), jv[:, k::3], rtol=1e-4, atol=1e-6)
+        mask = np.ones(jv.shape[1], bool)
+        mask[k::3] = False
+        np.testing.assert_allclose(jv[:, mask], 0.0, atol=1e-7)
 
 
 def test_fused_decode_matches_linearize(setup, rng):
