@@ -152,31 +152,11 @@ def main() -> None:
     step_time = (t2 - t1) / 200.0
     train_evals = (n_margin + n_inter) * B / max(step_time, 1e-9)
 
-    # kernel-engine training step (fused forward, XLA-twin backward)
-    if use_kernel:
-        import dataclasses
-
-        kcfg = dataclasses.replace(step_cfg, pde_engine="kernel")
-        kstep = make_train_step(model, tx, kcfg)
-        state, m = kstep(state, batch, with_pde=True)
-        _ = float(m["total_loss"])
-
-        def timed_krun(k):
-            nonlocal state
-            t0 = time.monotonic()
-            for _ in range(k):
-                state, m = kstep(state, batch, with_pde=True)
-            _ = float(m["total_loss"])
-            return time.monotonic() - t0
-
-        kt1, kt2 = timed_krun(20), timed_krun(220)
-        kstep_time = (kt2 - kt1) / 200.0
-    else:
-        kstep_time = float("nan")
-
+    # (the pde_engine='kernel' training step was measured once at 16.3 ms --
+    # recompute-in-backward makes it slower than linearize at this size, so
+    # training defaults to linearize and bench doesn't re-time it; docs/PERF.md)
     print(f"context: train_step(linearize)={step_time*1e3:.2f} ms "
           f"({train_evals/1e6:.2f}M pts/s incl. grad+Adam); "
-          f"train_step(kernel)={kstep_time*1e3:.2f} ms; "
           f"residual_eval={eval_time*1e3:.2f} ms @ {n_eval} pts",
           file=sys.stderr)
 
