@@ -414,6 +414,27 @@ class InterfacePhysics:
 
         loader = PrefetchLoader(_CubeView(train_dataset), batch_size=1, shuffle=True,
                                 drop_last=True, num_workers=2)
+
+        # Device-side window cache: the same window's cubes transfer once and
+        # are resampled on-device every visit (host->device through a tunnel
+        # can cost ~1 s for the 22 MB label cube; cache cap ~8 windows).
+        cube_cache: dict = {}
+        cache_cap = int(self.train_cfg.get("tpu", {}).get("device_cube_cache", 8))
+
+        def to_device_cube(data) -> "CubeBatch":
+            key = tuple(data["input_file"])
+            if key in cube_cache:
+                return cube_cache[key]
+            cube = CubeBatch(
+                field=jnp.asarray(data["field_data"], jnp.float32),
+                forecast_h=jnp.asarray(data["forecast_h"], jnp.float32).reshape(-1),
+                nwp_cube=jnp.asarray(data["nwp_cube"], jnp.float32),
+                label_cube=jnp.asarray(data["label_cube"], jnp.float32),
+            )
+            if len(cube_cache) < cache_cap:
+                cube_cache[key] = cube
+            return cube
+
         stop = False
         for epoch in range(current_epoch, num_epoch):
             if stop:
@@ -422,12 +443,7 @@ class InterfacePhysics:
                 with_pde = bool(self.train_cfg.get("with_pde", True)) and \
                     global_step >= self.pde_start_step
                 global_step += 1
-                cube = CubeBatch(
-                    field=jnp.asarray(data["field_data"], jnp.float32),
-                    forecast_h=jnp.asarray(data["forecast_h"], jnp.float32).reshape(-1),
-                    nwp_cube=jnp.asarray(data["nwp_cube"], jnp.float32),
-                    label_cube=jnp.asarray(data["label_cube"], jnp.float32),
-                )
+                cube = to_device_cube(data)
                 key, sub = jax.random.split(key)
                 state, metrics = step(state, cube, sub, with_pde)
                 if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
