@@ -1,0 +1,85 @@
+"""Trainer-internals unit tests: metric packing, batch conversion, checkpoints."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepphysinet_tpu.interface.interface_physics import InterfacePhysics
+from deepphysinet_tpu.train import checkpoint as ckpt
+
+
+MINI_CFG = dict(
+    meta_cfg=dict(enc_in=8, c_out=8, d_model=8, n_heads=2, e_layers=1, d_ff=8,
+                  learnable_token_num=2),
+    net_cfg=dict(in_channels=192, hidden_channels=8, learnable_token_num=4),
+    obs_norm_cfg={}, variable_cfg={},
+    train_cfg=dict(img_size=(4, 6), tpu=dict(compute_dtype="float32")),
+)
+
+
+def test_fetch_metrics_single_transfer():
+    metrics = {"a": jnp.asarray(1.5), "b": jnp.asarray(2.5), "c": jnp.asarray(-1.0)}
+    out = InterfacePhysics._fetch_metrics(metrics)
+    assert out == {"a": 1.5, "b": 2.5, "c": -1.0}
+
+
+def test_to_batch_shapes():
+    iface = InterfacePhysics(**MINI_CFG)
+    B, Nm, Ni = 2, 5, 3
+    data = {
+        "field_data": np.zeros((B, 4, 8), np.float32),
+        "forecast_h": np.array([24.0, 48.0], np.float32),
+        "margin_x": np.zeros((B, Nm), np.float32),
+        "margin_y": np.zeros((B, Nm), np.float32),
+        "margin_t": np.zeros((B, Nm), np.float32),
+        "margin_f": np.zeros((B, Nm, 1), np.float32),
+        "margin_data": np.zeros((B, Nm, 6), np.float32),
+        "margin_input_data": np.zeros((B, Nm, 6), np.float32),
+        "inter_x": np.zeros((B, Ni), np.float32),
+        "inter_y": np.zeros((B, Ni), np.float32),
+        "inter_t": np.zeros((B, Ni), np.float32),
+        "inter_f": np.zeros((B, Ni, 1), np.float32),
+        "inter_data": np.zeros((B, Ni, 6), np.float32),
+    }
+    batch = iface._to_batch(data)
+    assert batch.field.shape == (B, 4, 8)
+    assert batch.forecast_h.shape == (B,)
+    assert batch.margin.labels.shape == (B, Nm, 6)
+    assert batch.inter.nwp.shape == (B, Ni, 6)
+
+
+def test_checkpoint_roundtrip_with_opt_state(tmp_path):
+    params = {"w": np.ones((3, 3), np.float32), "b": np.zeros(3, np.float32)}
+    opt = {"mu": np.full(3, 0.5, np.float32)}
+    path = str(tmp_path)
+    f = ckpt.save_model(path, epoch=7, global_step=123, params=params,
+                        opt_state=opt, dx=27000.0, obs_norm_cfg={"t2": {}})
+    assert os.path.exists(f)
+    assert os.path.exists(os.path.join(path, "physics_latest.ckpt"))
+
+    state, next_epoch, step = ckpt.load_model(path)
+    assert next_epoch == 8 and step == 123
+    np.testing.assert_array_equal(state["model"]["w"], params["w"])
+    np.testing.assert_array_equal(state["opt_state"]["mu"], opt["mu"])
+    assert ckpt.gather_key_from_state("dx", state, 0.0) == 27000.0
+    assert ckpt.gather_key_from_state("missing", state, "dflt") == "dflt"
+
+
+def test_checkpoint_by_epoch(tmp_path):
+    path = str(tmp_path)
+    for e in (0, 1, 2):
+        ckpt.save_model(path, epoch=e, global_step=e * 10,
+                        params={"w": np.full(2, float(e), np.float32)})
+    state, ne, gs = ckpt.load_model(path, current_epoch=1)
+    assert ne == 2 and gs == 10
+    np.testing.assert_array_equal(state["model"]["w"], [1.0, 1.0])
+    # latest resolves to epoch 2
+    state, ne, gs = ckpt.load_model(path)
+    assert gs == 20
+
+
+def test_missing_checkpoint_graceful(tmp_path):
+    state, epoch, step = ckpt.load_model(str(tmp_path / "nope"))
+    assert state is None and epoch == 0 and step == 0
