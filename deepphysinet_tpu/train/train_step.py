@@ -95,20 +95,64 @@ def _window_losses(
     with_pde: bool,
     pred_loss_fn,
 ) -> Dict[str, jnp.ndarray]:
-    """Losses for one window; vmapped over the window batch by the step."""
+    """Losses for one window; vmapped over the window batch by the step.
+
+    When the PDE curriculum is active, the margin points' primal decode is
+    SHARED between the data loss and the margin PDE evaluation via one
+    jax.linearize of a combined (normalized, physical) head -- the reference
+    evaluates those 20480 points twice (interface_physics.py:467 then :493).
+    """
+    from deepphysinet_tpu.physics.engine import (
+        FieldDerivatives, FIELD_KEYS, fused_kernel_fields, residual_losses_from_fields)
+    from deepphysinet_tpu.train.point_fn import inverse_norm_stack
+
     factors = cfg.factors()
-    # --- data loss at labeled ERA5 points (interface_physics.py:464-474) ---
-    pe = encode_coord(margin.x, margin.y, margin.t, cfg.coord_spec)
-    pred = model.apply(params, tokens, pe, margin.nwp, fore_h, method=PhysicsNet.decode)
+    out: Dict[str, jnp.ndarray] = {}
+
+    if with_pde and cfg.pde_engine != "kernel":
+        # --- shared margin evaluation: data loss + PDE in one linearize ---
+        margin_nwp = jax.lax.stop_gradient(margin.nwp)
+
+        def combo_fn(coords):
+            pe = encode_coord(coords[:, 0], coords[:, 1], coords[:, 2], cfg.coord_spec)
+            out_norm = model.apply(params, tokens, pe, margin_nwp, fore_h,
+                                   method=PhysicsNet.decode)
+            phys = inverse_norm_stack(out_norm, cfg.obs_specs, with_clip=True)
+            return jnp.concatenate([out_norm, phys], axis=-1)  # [N, 12]
+
+        coords = jnp.stack([margin.x, margin.y, margin.t], axis=-1)
+        primal, lin = jax.linearize(combo_fn, coords)
+        pred = primal[:, :6]
+        n = coords.shape[0]
+        tangents = [
+            lin(jnp.zeros((n, 3), coords.dtype).at[:, k].set(1.0)) for k in range(3)
+        ]
+        fields = {k: primal[:, 6 + i : 7 + i] for i, k in enumerate(FIELD_KEYS)}
+        derivs = {
+            k: {ax: tangents[j][:, 6 + i : 7 + i] for j, ax in enumerate(("x", "y", "t"))}
+            for i, k in enumerate(FIELD_KEYS)
+        }
+        m_losses = residual_losses_from_fields(
+            FieldDerivatives(fields=fields, derivs=derivs), margin.f, factors,
+            cfg.constants)
+        for k, v in m_losses.items():
+            out[f"margin_{k}"] = v
+    else:
+        # --- data loss only (interface_physics.py:464-474) ---
+        pe = encode_coord(margin.x, margin.y, margin.t, cfg.coord_spec)
+        pred = model.apply(params, tokens, pe, margin.nwp, fore_h,
+                           method=PhysicsNet.decode)
+
     margin_loss = pred_loss_fn(pred, margin.labels) * factors["margin_factor"]
-    out = {"margin_loss": margin_loss, "_pred_norm": pred}
+    out["margin_loss"] = margin_loss
+    out["_pred_norm"] = pred
 
     if with_pde:
-        # --- PDE residuals at collocation and labeled points (:476-498) ---
-        from deepphysinet_tpu.physics.engine import (
-            fused_kernel_fields, residual_losses_from_fields)
-
-        for prefix, pts in (("inter", inter), ("margin", margin)):
+        # --- remaining PDE evaluations (:476-498) ---
+        targets = [("inter", inter)]
+        if cfg.pde_engine == "kernel":
+            targets.append(("margin", margin))
+        for prefix, pts in targets:
             coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
             if cfg.pde_engine == "kernel":
                 fd = fused_kernel_fields(
