@@ -169,10 +169,19 @@ def make_device_sampling_train_step(model, tx, cfg: StepConfig, scfg: SamplerCon
         )(state.params, batch, key, with_pde)
         gnorm = optax.global_norm(grads)
         metrics["grad_norm"] = gnorm
-        scale = jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6))
+        finite = jnp.isfinite(gnorm)
+        scale = jnp.where(
+            finite, jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6)), 0.0
+        )
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # non-finite batch -> keep the previous params and optimizer state
+        params = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                              params, state.params)
+        opt_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                                 opt_state, state.opt_state)
         metrics.update(_variable_metrics(pred_norm, labels, cfg))
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
 

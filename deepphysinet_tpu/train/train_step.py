@@ -202,10 +202,22 @@ def make_train_step_impl(model: PhysicsNet, tx: optax.GradientTransformation, cf
         )
         gnorm = optax.global_norm(grads)
         metrics["grad_norm"] = gnorm
-        scale = jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6))
+        # clip at 2.5e7 (interface_physics.py:514); zero the update entirely on
+        # a non-finite gradient so one bad batch cannot poison the parameters
+        # (robustness the reference lacks -- loss factors span 1e-7..1e14)
+        finite = jnp.isfinite(gnorm)
+        scale = jnp.where(
+            finite, jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6)), 0.0
+        )
+        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # non-finite batch -> keep the previous params and optimizer state
+        params = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                              params, state.params)
+        opt_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                                 opt_state, state.opt_state)
 
         # physical-unit per-variable MSE against labels (interface_physics.py:517-530)
         metrics.update(_variable_metrics(pred_norm, batch.margin.labels, cfg))

@@ -116,3 +116,22 @@ def test_lr_injection(setup):
     state = make_state()
     opt_state = set_learning_rate(state.opt_state, 5e-4)
     assert float(opt_state.hyperparams["learning_rate"]) == pytest.approx(5e-4)
+
+
+def test_nonfinite_gradient_guard(setup):
+    """A poisoned batch (NaN labels) must not update the parameters."""
+    model, cfg, tx, make_state, batch = setup
+    state = make_state()
+    step = make_train_step(model, tx, cfg)
+    bad = batch._replace(
+        margin=batch.margin._replace(
+            labels=batch.margin.labels.at[0, 0, 0].set(jnp.nan)))
+    params_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    state, m = step(state, bad, with_pde=False)
+    assert float(m["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree.leaves(params_before), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and a clean batch afterwards trains normally
+    state, m = step(state, batch, with_pde=False)
+    assert float(m["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m["total_loss"]))
