@@ -513,6 +513,53 @@ class InterfacePhysics:
             out = os.path.join(out_dir, f"{global_step}_result_{name}_f{int(fh):03d}.jpg")
             vis.forward(img, out, title=f"{name} f{int(fh):03d} t+{time_id}h")
 
+    # ---- evaluation ----
+
+    def run_test_interface(self, checkpoint_path: Optional[str] = None,
+                           max_windows: Optional[int] = None, **kwargs):
+        """Held-out RMSE evaluation of a checkpoint over test/valid data.
+
+        The reference carries a test_cfg but implements no test runner; this
+        completes the surface using the ERA5 RMSE harness (eval/rmse.py).
+        Data comes from ``test_cfg.test_data`` when it carries a dataset
+        config, else ``train_cfg.valid_data``.
+        """
+        from deepphysinet_tpu.data.dataset import PhysicsDataset
+        from deepphysinet_tpu.eval.rmse import evaluate_rmse
+
+        tc = self.train_cfg
+        self.dx = float(tc["dx"])
+        self.dy = float(tc["dy"])
+        ckpt_path = checkpoint_path or self.test_cfg.get("checkpoints", {}).get(
+            "checkpoints_path") or tc["checkpoints"]["checkpoints_path"]
+        state_dict, epoch, step = ckpt.load_model(ckpt_path, prefix="physics")
+        if state_dict is None:
+            raise FileNotFoundError(ckpt_path)
+        params = jax.tree.map(jnp.asarray, state_dict["model"])
+
+        data_cfg = self.test_cfg.get("test_data")
+        if not (isinstance(data_cfg, dict) and "input_path" in data_cfg
+                and data_cfg["input_path"]):
+            data_cfg = tc["valid_data"]
+        dataset = PhysicsDataset(
+            **data_cfg, input_variable_cfg=self.variable_cfg,
+            out_variable_cfg=self.obs_norm_cfg, dx=self.dx, dy=self.dy,
+        )
+        window_h = dataset.input_time_step * dataset.input_time_step_nums
+        cfg = self._step_cfg(float(window_h * 3600), dataset.forecast_time_period)
+        metrics = evaluate_rmse(self.physics_net, params, cfg, dataset,
+                                max_windows=max_windows, **kwargs)
+        metrics["epoch"] = float(epoch - 1)
+        metrics["global_step"] = float(step)
+        result_file = self.test_cfg.get("log", {}).get("result_file")
+        if result_file:
+            import json
+
+            os.makedirs(os.path.dirname(os.path.abspath(result_file)), exist_ok=True)
+            with open(result_file, "w") as fp:
+                json.dump(metrics, fp, indent=2)
+        return metrics
+
     # ---- inference ----
 
     def run_inference_interface(self, **kwargs):
