@@ -391,6 +391,7 @@ class InterfacePhysics:
             n_inter=train_dataset.inter_batch_size,
             window_h=window_h,
             input_time_step=train_dataset.input_time_step,
+            label_time_step=int(train_dataset.label_time_step),
             begin_lat=train_dataset.begin_lat,
             begin_lon=train_dataset.begin_lon,
             fine_step=float(train_dataset.out_lon[1] - train_dataset.out_lon[0]),

@@ -60,6 +60,7 @@ class SamplerConfig:
     n_inter: int  # inter_batch_size
     window_h: int = 24  # input_time_step * input_time_step_nums
     input_time_step: int = 6
+    label_time_step: int = 1  # hours between label-cube slices
     begin_lat: float = 18.0
     begin_lon: float = 72.0
     fine_step: float = 0.25
@@ -85,8 +86,12 @@ def sample_window_points(
     # ---- margin: integer fine-grid points with exact label gather ----
     mx = jax.random.randint(k1, (nm,), 0, Wl)
     my = jax.random.randint(k2, (nm,), 0, Hl)
-    mt = jax.random.randint(k3, (nm,), 0, scfg.window_h + 1)
-    flat = (my * Wl + mx) * label_cube.shape[3] + mt
+    # labels exist every label_time_step hours; sample those slots
+    # (physics_dataset.py:338 samples integer hours; label_time_step=1 default)
+    n_slots = scfg.window_h // scfg.label_time_step + 1
+    slot = jax.random.randint(k3, (nm,), 0, n_slots)
+    mt = slot * scfg.label_time_step
+    flat = (my * Wl + mx) * label_cube.shape[3] + slot
     labels = jnp.take(label_cube.reshape(6, -1), flat, axis=-1).T  # [nm, 6]
 
     m_lon = scfg.begin_lon + mx * scfg.fine_step
