@@ -114,6 +114,11 @@ def fields_from_primal_tangents(
     fields, derivs = {}, {}
     for i, key in enumerate(FIELD_KEYS):
         spec = obs_specs[i]
+        if spec.use_norm and spec.norm_type.lower() != "mean_norm":
+            raise NotImplementedError(
+                "fused kernel chain rule supports mean_norm only; use the "
+                f"linearize engine for {spec.name} ({spec.norm_type})"
+            )
         p_norm = primal[:, i : i + 1]
         clip = with_clip and clipped[i] and spec.bound is not None
         p_phys = inverse_normalize(p_norm, spec, with_clip=clip)
