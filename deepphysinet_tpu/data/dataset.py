@@ -143,6 +143,7 @@ class PhysicsDataset:
         self.forecast_time_period = forecast_time_period
         self.local_rank = local_rank
         self.sample_mode = sample_mode
+        self._cube_cache: Dict[str, dict] = {}
         self.rng = np.random.RandomState(seed)
         self._cache: Dict[str, np.ndarray] = {}
 
@@ -445,19 +446,29 @@ class PhysicsDataset:
         return cube
 
     def get_cube_item(self, item: int) -> dict:
-        """One window in device-sampling form (train/device_sampling.py)."""
+        """One window in device-sampling form (train/device_sampling.py).
+
+        Cube assembly (token packing + normalization of ~190 rasters) costs
+        ~100 ms; results are deterministic per window, so they are memoized
+        when ``in_memory`` is set.
+        """
         input_file = self.input_files[item % len(self.input_files)]
+        if self.in_memory and input_file in self._cube_cache:
+            return self._cube_cache[input_file]
         field = np.concatenate(
             [self.get_item_input(input_file), self.constant_variables], axis=0
         )
         _, _, forecast_h, _ = self._parse_item(input_file)
-        return {
+        out = {
             "field_data": field,
             "nwp_cube": self._nwp_cube(input_file),
             "label_cube": self.get_label_cube(input_file),
             "forecast_h": np.float32(forecast_h),
             "input_file": input_file,
         }
+        if self.in_memory:
+            self._cube_cache[input_file] = out
+        return out
 
     def get_window_cubes(self, item: int):
         """Device-sampling mode: raw cubes for one window.
