@@ -92,6 +92,86 @@ def _attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: flo
     return jnp.moveaxis(out, 1, 2)
 
 
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                  *, scale: float, seq_len: int, block_k: int, num_k_blocks: int):
+    """Online-softmax flash attention: one (batch*head, q-block) accumulates
+    over streamed kv blocks; running max/sum/acc live in VMEM scratch."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, e]
+    k = k_ref[0]  # [bk, e]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+    key_ids = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_ids < seq_len, s, -jnp.inf)
+
+    m_prev = m_scr[...]
+    l_prev = l_scr[...]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_cur)
+    alpha = jnp.exp(m_prev - m_cur)
+    l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[...] = m_cur
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_k_blocks - 1)
+    def _():
+        o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+
+
+def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+                     block_q: int = 256, block_k: int = 256) -> jnp.ndarray:
+    """Blockwise flash attention for long sequences; q/k/v [B, L, H, E]."""
+    B, L, H, E = q.shape
+    l_pad = _round_up(L, max(block_q, block_k))
+    e_pad = _round_up(E, 128)
+
+    def pad(x):
+        x = jnp.moveaxis(x, 2, 1).reshape(B * H, L, E)
+        return jnp.pad(x, ((0, 0), (0, l_pad - L), (0, e_pad - E)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    nq, nk = l_pad // block_q, l_pad // block_k
+    kernel = functools.partial(_flash_kernel, scale=scale, seq_len=L,
+                               block_k=block_k, num_k_blocks=nk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, e_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, e_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, e_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, e_pad), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, l_pad, e_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, e_pad), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    out = out[:, :L, :E].reshape(B, H, L, E)
+    return jnp.moveaxis(out, 1, 2)
+
+
+# sequences longer than this use the blockwise flash kernel instead of the
+# single-tile fused kernel (whose L x L scores must fit VMEM)
+_FLASH_THRESHOLD = 1024
+
+
 def default_impl() -> str:
     return "pallas" if (_HAS_PLTPU and jax.default_backend() == "tpu") else "xla"
 
@@ -99,7 +179,11 @@ def default_impl() -> str:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(q, k, v, scale: float, impl: Optional[str] = None):
     impl = impl or default_impl()
+    if impl == "flash":
+        return _attention_flash(q, k, v, scale)
     if impl == "pallas":
+        if q.shape[1] > _FLASH_THRESHOLD:
+            return _attention_flash(q, k, v, scale)
         return _attention_pallas(q, k, v, scale)
     return attention_xla(q, k, v, scale)
 

@@ -47,3 +47,22 @@ def test_custom_vjp_matches_autodiff(rng):
     g2 = jax.grad(loss_direct, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_matches_xla_interpret(rng):
+    """Blockwise online-softmax kernel vs the dense reference (interpret mode
+    exercises the same kernel code path on CPU)."""
+    import functools
+    from unittest import mock
+    from deepphysinet_tpu.ops import attention as attn_mod
+
+    B, L, H, E = 1, 300, 2, 16
+    q, k, v = (jnp.array(rng.randn(B, L, H, E), jnp.float32) for _ in range(3))
+    scale = 1.0 / np.sqrt(E)
+    ref = attention_xla(q, k, v, scale)
+
+    orig = attn_mod.pl.pallas_call
+    with mock.patch.object(attn_mod.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        out = attn_mod._attention_flash(q, k, v, scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
