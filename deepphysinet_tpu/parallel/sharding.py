@@ -47,3 +47,31 @@ def make_sharded_train_step(model, tx, cfg: StepConfig, mesh: Mesh):
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
+
+
+def make_sharded_device_sampling_step(model, tx, cfg: StepConfig, mesh: Mesh, scfg):
+    """Mesh-sharded on-device-sampling step: one window per ``data`` slot.
+
+    Each device holds its window's cubes and samples its own fresh points
+    every step (per-window PRNG keys shard with the windows); parameters
+    replicate and the gradient psum rides ICI.  This is the production
+    configuration: host bandwidth per chip stays constant as the slice grows.
+    """
+    from deepphysinet_tpu.train.device_sampling import (
+        CubeBatch, make_device_sampling_train_step)
+
+    inner = make_device_sampling_train_step(model, tx, cfg, scfg)
+    # re-jit the underlying function with shardings (inner is already jitted;
+    # grab its wrapped impl)
+    impl = inner.__wrapped__
+    repl = NamedSharding(mesh, P())
+    state_sh = TrainState(step=repl, params=repl, opt_state=repl)
+    data = NamedSharding(mesh, P("data"))
+    cube_sh = CubeBatch(field=data, forecast_h=data, nwp_cube=data, label_cube=data)
+    return jax.jit(
+        impl,
+        static_argnames=("with_pde",),
+        in_shardings=(state_sh, cube_sh, repl),  # PRNG key replicated; split per window in-jit
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )

@@ -77,3 +77,37 @@ def test_sharded_step_runs_data_only():
     sbatch = shard_batch(batch, mesh)
     state, m = step(state, sbatch, False)
     assert np.isfinite(float(m["total_loss"]))
+
+
+def test_sharded_device_sampling_step(rng):
+    """On-device sampling sharded over the mesh: one window per data slot."""
+    from deepphysinet_tpu.parallel.sharding import make_sharded_device_sampling_step
+    from deepphysinet_tpu.train.device_sampling import CubeBatch, SamplerConfig
+    from deepphysinet_tpu.train.train_step import create_train_state
+
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    cfg = _cfg()
+    tx = build_optimizer("Adam", lr=1e-3)
+    mesh = make_mesh(MeshConfig(data=8, points=1))
+    scfg = SamplerConfig(n_margin=32, n_inter=16, window_h=24)
+
+    B = 8
+    cube = CubeBatch(
+        field=jnp.asarray(rng.randn(B, 12, 65), jnp.float32),
+        forecast_h=jnp.asarray(np.full(B, 24.0), jnp.float32),
+        nwp_cube=jnp.asarray(rng.randn(B, 6, 10, 17, 5) * 0.1, jnp.float32),
+        label_cube=jnp.asarray(rng.randn(B, 6, 37, 65, 25) * 0.1, jnp.float32),
+    )
+    dummy = _make_batch(np.random.RandomState(0), B=B, Nm=8, Ni=4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    step = make_sharded_device_sampling_step(model, tx, cfg, mesh, scfg)
+
+    from deepphysinet_tpu.parallel.mesh import batch_sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sh = NamedSharding(mesh, P("data"))
+    cube = CubeBatch(*(jax.device_put(x, data_sh) for x in cube))
+    state, m = step(state, cube, jax.random.PRNGKey(7), True)
+    assert np.isfinite(float(m["total_loss"]))
+    state, m = step(state, cube, jax.random.PRNGKey(8), True)
+    assert np.isfinite(float(m["total_loss"]))
