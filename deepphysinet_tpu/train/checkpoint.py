@@ -80,3 +80,75 @@ def gather_key_from_state(key: str, state_dict: dict, default):
         return state_dict[key]
     print(f"cannot find {key}, use it as default")
     return default
+
+
+# ---- orbax backend (optional; for sharded/multi-host checkpoints) ----
+
+def save_model_orbax(
+    checkpoint_path: str,
+    epoch: int,
+    global_step: int,
+    params,
+    opt_state=None,
+    prefix: str = "physics",
+    **metadata,
+) -> str:
+    """Orbax StandardCheckpointer backend: the pytree goes through orbax
+    (sharding-aware, async-capable, multi-host-safe); the metadata bundle
+    rides in a pickle sidecar inside the step directory."""
+    import orbax.checkpoint as ocp
+
+    root = os.path.abspath(checkpoint_path)
+    step_dir = os.path.join(root, f"{prefix}_{epoch}_orbax")
+    if os.path.exists(step_dir):
+        shutil.rmtree(step_dir)
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"model": params}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    ckptr.save(os.path.join(step_dir, "state"), tree)
+    ckptr.wait_until_finished()
+    side = {"epoch": epoch, "gobal_step": global_step}
+    side.update(metadata)
+    with open(os.path.join(step_dir, "meta.pickle"), "wb") as fp:
+        pickle.dump(side, fp)
+    latest = os.path.join(root, f"{prefix}_latest_orbax")
+    if os.path.islink(latest) or os.path.exists(latest):
+        if os.path.isdir(latest) and not os.path.islink(latest):
+            shutil.rmtree(latest)
+        else:
+            os.remove(latest)
+    os.symlink(step_dir, latest)
+    return step_dir
+
+
+def load_model_orbax(
+    checkpoint_path: str,
+    current_epoch: Optional[int] = None,
+    prefix: str = "physics",
+    target=None,
+):
+    """Counterpart loader; ``target`` (a matching pytree of abstract/real
+    arrays) restores with correct shardings when given."""
+    import orbax.checkpoint as ocp
+
+    root = os.path.abspath(checkpoint_path)
+    if current_epoch is None:
+        step_dir = os.path.join(root, f"{prefix}_latest_orbax")
+    else:
+        step_dir = os.path.join(root, f"{prefix}_{current_epoch}_orbax")
+    if not os.path.exists(step_dir):
+        print(f"warning:{step_dir} does not exist!")
+        return None, 0, 0
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        tree = ckptr.restore(os.path.join(step_dir, "state"), target=target)
+    else:
+        tree = ckptr.restore(os.path.join(step_dir, "state"))
+    with open(os.path.join(step_dir, "meta.pickle"), "rb") as fp:
+        side = pickle.load(fp)
+    global_step = side.pop("gobal_step", 0)
+    epoch = side.pop("epoch", -1)
+    state_dict = dict(tree)
+    state_dict.update(side)
+    return state_dict, epoch + 1, global_step

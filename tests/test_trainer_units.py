@@ -83,3 +83,25 @@ def test_checkpoint_by_epoch(tmp_path):
 def test_missing_checkpoint_graceful(tmp_path):
     state, epoch, step = ckpt.load_model(str(tmp_path / "nope"))
     assert state is None and epoch == 0 and step == 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.arange(4.0)}
+    opt = {"mu": jnp.full((4,), 0.25)}
+    path = str(tmp_path)
+    ckpt.save_model_orbax(path, epoch=3, global_step=77, params=params,
+                          opt_state=opt, dx=27000.0)
+    state, ne, gs = ckpt.load_model_orbax(path)
+    assert ne == 4 and gs == 77
+    np.testing.assert_array_equal(np.asarray(state["model"]["w"]), np.ones((4, 4)))
+    np.testing.assert_array_equal(np.asarray(state["opt_state"]["mu"]),
+                                  np.full((4,), 0.25))
+    assert state["dx"] == 27000.0
+    # by-epoch resolution
+    state, ne, gs = ckpt.load_model_orbax(path, current_epoch=3)
+    assert gs == 77
+    # missing -> graceful
+    state, ne, gs = ckpt.load_model_orbax(str(tmp_path / "nope"))
+    assert state is None
