@@ -49,6 +49,10 @@ class PrefetchLoader:
             vals = [it[key] for it in items]
             if isinstance(vals[0], str):
                 out[key] = vals  # filenames pass through as a list
+            elif len(vals) == 1:
+                # batch-1 fast path: prepend the axis as a view, no copy
+                # (cube items carry ~25 MB; stacking would copy every step)
+                out[key] = np.asarray(vals[0])[None]
             else:
                 out[key] = np.stack(vals, axis=0)
         return out
