@@ -207,11 +207,24 @@ class InterfacePhysics:
         )
         tx = build_optimizer(**opt_cfg)
 
+        # mesh first: the dist path needs one window per `data` slot, so the
+        # loader batch must equal batch_size * mesh.data (DDP gives each rank
+        # its own window; here one process feeds the whole mesh)
+        mesh = None
+        if dist and len(jax.devices()) > 1:
+            from deepphysinet_tpu.parallel.mesh import MeshConfig, make_mesh
+
+            mesh_cfg = dict(tc.get("tpu", {}).get("mesh", {}))
+            mesh = make_mesh(MeshConfig(**mesh_cfg) if mesh_cfg else MeshConfig())
+            batch_size = batch_size * mesh.shape["data"]
+            print(f"mesh: {dict(mesh.shape)}; effective window batch: {batch_size}")
+
         train_loader = PrefetchLoader(
             train_dataset, batch_size, shuffle=True, drop_last=True, num_workers=num_workers
         )
+        # validation runs through the unsharded eval step; keep the config batch
         valid_loader = PrefetchLoader(
-            valid_dataset, batch_size, shuffle=True, drop_last=True, num_workers=1
+            valid_dataset, tc["batch_size"], shuffle=True, drop_last=True, num_workers=1
         )
 
         # ---- state init / resume ----
@@ -234,16 +247,12 @@ class InterfacePhysics:
             )
 
         # ---- compiled steps ----
-        mesh = None
-        if dist and len(jax.devices()) > 1:
-            from deepphysinet_tpu.parallel.mesh import MeshConfig, make_mesh, shard_batch
+        if mesh is not None:
+            from deepphysinet_tpu.parallel.mesh import shard_batch
             from deepphysinet_tpu.parallel.sharding import make_sharded_train_step
 
-            mesh_cfg = dict(tc.get("tpu", {}).get("mesh", {}))
-            mesh = make_mesh(MeshConfig(**mesh_cfg) if mesh_cfg else MeshConfig())
             train_step = make_sharded_train_step(self.physics_net, tx, cfg, mesh)
             self._shard = lambda b: shard_batch(b, mesh)
-            print(f"mesh: {dict(mesh.shape)}")
         else:
             train_step = make_train_step(self.physics_net, tx, cfg)
             self._shard = lambda b: b
@@ -297,19 +306,22 @@ class InterfacePhysics:
                                        m["margin_loss"], global_step)
 
                     # ---- interleaved validation batch (:639-751) ----
-                    try:
-                        vdata = next(valid_iter)
-                    except StopIteration:
-                        valid_iter = iter(valid_loader)
-                        vdata = next(valid_iter)
-                    vbatch = self._shard(self._to_batch(vdata))
-                    vm = self._fetch_metrics(eval_step(state.params, vbatch, with_pde))
-                    vline = f"valid loss:{vm['total_loss']:.6f},margin:{vm['margin_loss']:.6f}"
-                    print("=========validation=========")
-                    print(vline)
-                    log_fp.write(vline + "\n")
-                    for k, v in vm.items():
-                        summary.add_scalar(f"validation/{k}", v, global_step)
+                    vdata = None
+                    if len(valid_loader) > 0:
+                        try:
+                            vdata = next(valid_iter)
+                        except StopIteration:
+                            valid_iter = iter(valid_loader)
+                            vdata = next(valid_iter)
+                    if vdata is not None:
+                        vbatch = self._to_batch(vdata)
+                        vm = self._fetch_metrics(eval_step(state.params, vbatch, with_pde))
+                        vline = f"valid loss:{vm['total_loss']:.6f},margin:{vm['margin_loss']:.6f}"
+                        print("=========validation=========")
+                        print(vline)
+                        log_fp.write(vline + "\n")
+                        for k, v in vm.items():
+                            summary.add_scalar(f"validation/{k}", v, global_step)
 
                     if with_vis and vis_path:
                         self._render_grid(state.params, train_dataset, data, cfg,

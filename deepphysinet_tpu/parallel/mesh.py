@@ -37,9 +37,9 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     n = len(devices)
     points = max(1, cfg.points)
     data = cfg.data if cfg.data > 0 else n // points
-    if data * points != n:
-        raise ValueError(f"mesh {data}x{points} != {n} devices")
-    arr = np.array(devices).reshape(data, points)
+    if data * points > n:
+        raise ValueError(f"mesh {data}x{points} needs more than {n} devices")
+    arr = np.array(devices[: data * points]).reshape(data, points)
     return Mesh(arr, ("data", "points"))
 
 
