@@ -271,6 +271,191 @@ def fused_decode_jvp(
     return primal[:n], tang[:, :n]
 
 
+def channel_major_perm(in_ch: int, n_channels: int) -> np.ndarray:
+    """Permutation taking interleaved PE features (index = (f*2+s)*C + c) to
+    channel-major order [c][(f, s)] -- lets the kernel build PE blocks with
+    plain concatenation and slice tangent weights as contiguous row blocks."""
+    idx = np.arange(in_ch).reshape(-1, n_channels)  # [(f,s), c]
+    return idx.T.reshape(-1)  # channel-major
+
+
+def _pe_block(cn_col, fb, f32):
+    """In-kernel SineCos PE for one channel: cn_col [Nb, 1] -> [Nb, 2F]
+    ordered (f, {sin, cos}) to match channel-major weight rows."""
+    import jax.numpy as jnp
+
+    arg = cn_col * fb[None, :]  # [Nb, F]
+    s, c = jnp.sin(arg), jnp.cos(arg)
+    nb, f = arg.shape
+    return jnp.stack([s, c], axis=-1).reshape(nb, 2 * f), s, c
+
+
+def _decode_kernel_v3(
+    cn_ref, cd_ref, ref_ref, fb_ref, fb2_ref, scales_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, wd_ref, bd_ref, fh_ref,
+    f1_ref, g1_ref, f2_ref, g2_ref, wo_ref, bo_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, cdt, n_freqs: int, n_cd_freqs: int,
+):
+    """v3: coordinates in, PE computed on the VPU inside the kernel.
+
+    Inputs per block: normalized coords cn [Nb, 3->8 padded], conditioning
+    values cd [Nb, 6->8], ref [Nb, 6].  W1/Wd arrive channel-major
+    (channel_major_perm), so the direction-k tangent weights are the rows
+    [k*2F : (k+1)*2F] of W1 -- no separate sliced copy needed.
+    """
+    f32 = jnp.float32
+    fb = fb_ref[0]  # [F] coord freq bands
+    fb2 = fb2_ref[0]  # [F2] coord_data freq bands
+    scales = scales_ref[0]  # [3] d(cn)/d(physical)
+
+    pe_blocks, sin_c, cos_c = [], [], []
+    for c in range(3):
+        blk, s, co = _pe_block(cn_ref[:, c : c + 1], fb, f32)
+        pe_blocks.append(blk)
+        sin_c.append(s)
+        cos_c.append(co)
+    P_in = jnp.concatenate(pe_blocks, axis=-1)  # [Nb, 6F] channel-major
+
+    # tangent PE per direction k: d/dcn_k scaled to physical
+    t_blocks = []
+    for k in range(3):
+        nb, f = sin_c[k].shape
+        dsin = cos_c[k] * fb[None, :] * scales[k]
+        dcos = -sin_c[k] * fb[None, :] * scales[k]
+        t_blocks.append(jnp.stack([dsin, dcos], axis=-1).reshape(nb, 2 * f))
+
+    cd_blocks = [
+        _pe_block(cd_ref[:, c : c + 1], fb2, f32)[0] for c in range(6)
+    ]
+    CD = jnp.concatenate(cd_blocks, axis=-1)  # [Nb, 12*F2] channel-major
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    two_f = 2 * n_freqs
+    primal_cols, tang_cols = [], []
+    for v in range(n_vars):
+        w1 = w1_ref[v]
+        z = dot(P_in, w1) + b1_ref[v][None, :]
+        tz = jnp.concatenate(
+            [dot(t_blocks[k], w1[k * two_f : (k + 1) * two_f]) for k in range(3)],
+            axis=0,
+        )
+        mask = (z > 0).astype(f32)
+        p = jnp.maximum(z, 0.0)
+        t = tz * jnp.concatenate([mask, mask, mask], axis=0)
+
+        w2 = w2_ref[v]
+        p = dot(p, w2) + b2_ref[v][None, :]
+        t = dot(t, w2)
+
+        cd = dot(CD, wd_ref[v]) + bd_ref[v][None, :]
+        c = p + cd + fh_ref[v][None, :]
+        tc = t
+
+        f1 = f1_ref[v]
+        r = dot(c, f1) + g1_ref[v][None, :]
+        tr = dot(tc, f1)
+        maskr = (r > 0).astype(f32)
+        pr = jnp.maximum(r, 0.0)
+        tr = tr * jnp.concatenate([maskr, maskr, maskr], axis=0)
+
+        f2 = f2_ref[v]
+        y = dot(pr, f2) + g2_ref[v][None, :] + 2.0 * c
+        ty = dot(tr, f2) + 2.0 * tc
+
+        wo = wo_ref[v][None, :].astype(f32)
+        o = jnp.sum(y * wo, axis=-1) + bo_ref[v] + ref_ref[:, v]
+        to = jnp.sum(ty * wo, axis=-1)
+        primal_cols.append(o[:, None])
+        tang_cols.append(to.reshape(3, block_n)[:, :, None])
+
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1)
+
+
+def fused_decode_jvp_v3(
+    weights: DecodeWeights,
+    coords: jnp.ndarray,  # [N, 3] physical (x m, y m, t s)
+    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
+    coord_spec,
+    block_n: int = 512,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v3 entry: PE + tangents computed in-kernel; inputs are raw coordinates.
+
+    Removes the [N, 192] x 5 PE/tangent HBM round trips of v1/v2 entirely --
+    per point only 3 coords + 6 conditioning values + 6+18 outputs move.
+    """
+    n = coords.shape[0]
+    n_vars = weights.w1.shape[0]
+    in_ch = weights.w1.shape[1]
+    n_freqs = in_ch // 6  # 2 fns x 3 channels
+    n_cd_freqs = in_ch // 2 // 6
+
+    scales = jnp.array(
+        [1.0 / (coord_spec.dx * (coord_spec.lon_size - 1)),
+         1.0 / (coord_spec.dy * (coord_spec.lat_size - 1)),
+         1.0 / coord_spec.pred_t_span], jnp.float32)
+    cn = coords.astype(jnp.float32) * scales  # [N, 3]
+    cn = jnp.pad(cn, ((0, 0), (0, 5)))  # lane-friendlier [N, 8]
+    cd_in = jnp.pad(coord_data.astype(jnp.float32), ((0, 0), (0, 2)))  # [N, 8]
+
+    perm = channel_major_perm(in_ch, 3)
+    perm_cd = channel_major_perm(in_ch, 6)
+    cdt = compute_dtype
+    w1_cm = weights.w1[:, perm, :].astype(cdt)
+    wd_cm = weights.wd[:, perm_cd, :].astype(cdt)
+
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        cn = jnp.pad(cn, ((0, pad), (0, 0)))
+        cd_in = jnp.pad(cd_in, ((0, pad), (0, 0)))
+        coord_data = jnp.pad(coord_data, ((0, pad), (0, 0)))
+    n_pad = cn.shape[0]
+    grid = (n_pad // block_n,)
+
+    fb = jnp.asarray(make_freq_bands(n_freqs, 4.0), jnp.float32)[None]
+    fb2 = jnp.asarray(make_freq_bands(n_cd_freqs, 4.0), jnp.float32)[None]
+    wt = [w1_cm, weights.b1.astype(jnp.float32),
+          weights.w2.astype(cdt), weights.b2.astype(jnp.float32),
+          wd_cm, weights.bd.astype(jnp.float32),
+          weights.fh_add.astype(jnp.float32),
+          weights.f1.astype(cdt), weights.g1.astype(jnp.float32),
+          weights.f2.astype(cdt), weights.g2.astype(jnp.float32),
+          weights.wo.astype(cdt), weights.bo.astype(jnp.float32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(
+        _decode_kernel_v3, block_n=block_n, n_vars=n_vars, cdt=cdt,
+        n_freqs=n_freqs, n_cd_freqs=n_cd_freqs)
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_vars), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad, n_vars), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, 8), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, 8), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+        ] + [full() for _ in range(3)] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(cn, cd_in, coord_data.astype(jnp.float32), fb, fb2, scales[None], *wt)
+    return primal[:n], tang[:, :n]
+
+
 def decode_jvp_xla(
     weights: DecodeWeights,
     pe: jnp.ndarray,

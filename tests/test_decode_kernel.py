@@ -120,3 +120,34 @@ def test_fused_residual_losses_match_engine(setup, rng):
     for k in ref_losses:
         np.testing.assert_allclose(float(got_losses[k]), float(ref_losses[k]),
                                    rtol=5e-3, err_msg=k)
+
+
+def test_fused_decode_v3_matches_linearize(setup, rng):
+    """Kernel v3 (in-kernel PE, channel-major weights) == jax.linearize."""
+    from deepphysinet_tpu.ops.decode_kernel import fused_decode_jvp_v3
+
+    model, params, tokens = setup
+    n = 64
+    coords = jnp.asarray(
+        np.stack([rng.rand(n) * 27000 * 256, rng.rand(n) * 27000 * 144,
+                  rng.randint(0, 25, n) * 3600.0], -1), jnp.float32)
+    coord_data = jnp.asarray(rng.randn(n, 6) * 0.1, jnp.float32)
+    fore_h = jnp.array([0.1], jnp.float32)
+
+    def norm_fn(c):
+        pe = encode_coord(c[:, 0], c[:, 1], c[:, 2], COORD)
+        return model.apply(params, tokens, pe, coord_data, fore_h,
+                           method=PhysicsNet.decode)
+
+    primal_ref, lin = jax.linearize(norm_fn, coords)
+    tang_ref = [lin(jnp.zeros_like(coords).at[:, k].set(1.0)) for k in range(3)]
+
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    primal, tang = fused_decode_jvp_v3(weights, coords, coord_data, COORD,
+                                       block_n=32, interpret=True,
+                                       compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(primal), np.asarray(primal_ref),
+                               rtol=2e-4, atol=2e-5)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(tang[k]), np.asarray(tang_ref[k]),
+                                   rtol=2e-3, atol=1e-7)
