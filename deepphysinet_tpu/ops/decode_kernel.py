@@ -273,21 +273,25 @@ def fused_decode_jvp(
 
 def channel_major_perm(in_ch: int, n_channels: int) -> np.ndarray:
     """Permutation taking interleaved PE features (index = (f*2+s)*C + c) to
-    channel-major order [c][(f, s)] -- lets the kernel build PE blocks with
-    plain concatenation and slice tangent weights as contiguous row blocks."""
-    idx = np.arange(in_ch).reshape(-1, n_channels)  # [(f,s), c]
-    return idx.T.reshape(-1)  # channel-major
+    channel-major, fn-grouped order [c][all sin(f), then all cos(f)] -- lets
+    the kernel build each PE block as a plain concat (no lane interleave,
+    which Mosaic cannot relayout) and slice direction-k tangent weights as
+    contiguous row blocks."""
+    C = n_channels
+    n_freqs = in_ch // (2 * C)
+    perm = []
+    for c in range(C):
+        perm.extend((2 * f) * C + c for f in range(n_freqs))  # sin rows
+        perm.extend((2 * f + 1) * C + c for f in range(n_freqs))  # cos rows
+    return np.asarray(perm)
 
 
 def _pe_block(cn_col, fb, f32):
     """In-kernel SineCos PE for one channel: cn_col [Nb, 1] -> [Nb, 2F]
-    ordered (f, {sin, cos}) to match channel-major weight rows."""
-    import jax.numpy as jnp
-
+    fn-grouped ([sin..., cos...]) to match channel_major_perm's row order."""
     arg = cn_col * fb[None, :]  # [Nb, F]
     s, c = jnp.sin(arg), jnp.cos(arg)
-    nb, f = arg.shape
-    return jnp.stack([s, c], axis=-1).reshape(nb, 2 * f), s, c
+    return jnp.concatenate([s, c], axis=-1), s, c
 
 
 def _decode_kernel_v3(
@@ -317,13 +321,12 @@ def _decode_kernel_v3(
         cos_c.append(co)
     P_in = jnp.concatenate(pe_blocks, axis=-1)  # [Nb, 6F] channel-major
 
-    # tangent PE per direction k: d/dcn_k scaled to physical
+    # tangent PE per direction k: d/dcn_k scaled to physical (fn-grouped)
     t_blocks = []
     for k in range(3):
-        nb, f = sin_c[k].shape
         dsin = cos_c[k] * fb[None, :] * scales[k]
         dcos = -sin_c[k] * fb[None, :] * scales[k]
-        t_blocks.append(jnp.stack([dsin, dcos], axis=-1).reshape(nb, 2 * f))
+        t_blocks.append(jnp.concatenate([dsin, dcos], axis=-1))
 
     cd_blocks = [
         _pe_block(cd_ref[:, c : c + 1], fb2, f32)[0] for c in range(6)
