@@ -330,7 +330,7 @@ class PhysicsDataset:
         ]
         return np.stack(cols, axis=-1).astype(np.float32)
 
-    def get_item_label_data(self, input_file: str):
+    def get_item_label_data(self, input_file: str, cube6: Optional[np.ndarray] = None):
         """Sample labeled ERA5 points + their NWP conditioning (:323-429)."""
         prefix, date_str, forecast_h, mode_name = self._parse_item(input_file)
         start_time = datetime.datetime.strptime(date_str, _DATE_FMT) + datetime.timedelta(
@@ -366,7 +366,8 @@ class PhysicsDataset:
                     vals = self.norm_data(vals, var_dict["norm_factor"], var_dict["norm_type"])
                 margin_data[sel, i_var] = vals
 
-        cube6 = self._nwp_cube(input_file)
+        if cube6 is None:
+            cube6 = self._nwp_cube(input_file)
         margin_input_data = self._interp_cube_at(cube6, lon_rand, lat_rand, t_rand)
 
         margin_f = self.get_coriolis(lat_rand)
@@ -379,7 +380,7 @@ class PhysicsDataset:
             "margin_input_data": margin_input_data,
         }
 
-    def get_inter_data(self, input_file: str):
+    def get_inter_data(self, input_file: str, cube6: Optional[np.ndarray] = None):
         """Sample continuous collocation points + NWP conditioning (:431-499)."""
         n = self.inter_batch_size
         window_h = self.input_time_step * self.input_time_step_nums
@@ -388,7 +389,8 @@ class PhysicsDataset:
         t_rand = self.rng.randint(0, window_h + 1, (n,))
         lon_rand = self.begin_lon + x_rand * 0.25
         lat_rand = self.begin_lat + y_rand * 0.25
-        cube6 = self._nwp_cube(input_file)
+        if cube6 is None:
+            cube6 = self._nwp_cube(input_file)
         inter_data = self._interp_cube_at(cube6, lon_rand, lat_rand, t_rand)
         inter_f = self.get_coriolis(lat_rand)
         return {
@@ -489,8 +491,9 @@ class PhysicsDataset:
             [self.get_item_input(input_file), self.constant_variables], axis=0
         )
         out = {"field_data": field, "input_file": input_file}
-        out.update(self.get_item_label_data(input_file))
-        out.update(self.get_inter_data(input_file))
+        cube6 = self._nwp_cube(input_file)  # assembled once, shared by both samplers
+        out.update(self.get_item_label_data(input_file, cube6))
+        out.update(self.get_inter_data(input_file, cube6))
         _, _, forecast_h, _ = self._parse_item(input_file)
         out["forecast_h"] = np.float32(forecast_h)
         return out

@@ -67,28 +67,52 @@ class PrefetchLoader:
         ]
         if not batches:
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # num_workers threads assemble batches concurrently (numpy + file IO
+        # release the GIL); results are re-ordered so iteration order matches
+        # the shuffled schedule deterministically.
+        task_q: "queue.Queue" = queue.Queue()
+        for seq, idxs in enumerate(batches):
+            task_q.put((seq, idxs))
+        done: Dict[int, object] = {}
+        done_lock = threading.Lock()
+        done_cv = threading.Condition(done_lock)
         stop = threading.Event()
+        n_batches = len(batches)
 
         def worker():
-            try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    items = [self.dataset[int(i)] for i in idxs]
-                    q.put(self._collate(items))
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
+            while not stop.is_set():
+                try:
+                    seq, idxs = task_q.get_nowait()
+                except queue.Empty:
                     return
+                try:
+                    items = [self.dataset[int(i)] for i in idxs]
+                    result: object = self._collate(items)
+                except Exception as e:  # surface worker errors to the consumer
+                    result = e
+                with done_cv:
+                    done[seq] = result
+                    done_cv.notify_all()
+                # bounded prefetch: wait until the consumer catches up
+                while not stop.is_set():
+                    with done_cv:
+                        if len(done) <= self.prefetch + self.num_workers:
+                            break
+                        done_cv.wait(timeout=0.1)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(min(self.num_workers, n_batches))]
+        for t in threads:
+            t.start()
+        try:
+            for seq in range(n_batches):
+                with done_cv:
+                    while seq not in done:
+                        done_cv.wait(timeout=0.5)
+                        if seq not in done and not any(t.is_alive() for t in threads):
+                            raise RuntimeError("prefetch workers died without output")
+                    item = done.pop(seq)
+                    done_cv.notify_all()
                 if isinstance(item, Exception):
                     raise item
                 yield item

@@ -65,7 +65,8 @@ def predict_grid(
     xs, ys = np.meshgrid(np.arange(lon_size), np.arange(lat_size))
     x_list = xs.reshape(-1)
     y_list = ys.reshape(-1)
-    t_list = np.full_like(x_list, time_id_hours)
+    # float dtype: fractional time offsets must survive (continuous time axis)
+    t_list = np.full(x_list.shape, float(time_id_hours), dtype=np.float64)
 
     px, py, pt, nwp, _f = dataset.get_margin_grid(input_file, x_list, y_list, t_list)
     fh_norm = forecast_h / cfg.forecast_time_period
@@ -202,10 +203,14 @@ def run_inference(interface, **kwargs):
             if with_vis and vis_utils is not None:
                 vis_utils.forward(img, os.path.join(vis_path, f"{stamp}_{variable_name}_vis.jpg"))
             if write_source:
-                geo = (dataset.begin_lon, 0.25, 0.0,
-                       dataset.begin_lat + 0.25 * (lat_size - 1), 0.0, -0.25)
+                # grids are south-up (row 0 = begin_lat); flip to the standard
+                # north-up GeoTIFF orientation with a matching geo-transform
+                step = float(dataset.out_lat[1] - dataset.out_lat[0])
+                h = img.shape[0]
+                geo = (dataset.begin_lon, step, 0.0,
+                       dataset.begin_lat + step * (h - 1), 0.0, -step)
                 save_full_image(os.path.join(vis_path, f"{stamp}_{variable_name}.tiff"),
-                                img, geo_transform=geo)
+                                img[::-1], geo_transform=geo)
         results.append((ref_time, grids))
         ref_time += datetime.timedelta(seconds=dt)
     return results

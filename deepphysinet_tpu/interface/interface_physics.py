@@ -238,12 +238,12 @@ class InterfacePhysics:
             state = self._restore_state(state, state_dict, tx)
 
         # ---- on-device sampling mode: host ships cubes, points sampled in-jit ----
-        if self.sample_mode == "device" and not dist:
+        if self.sample_mode == "device":
             return self._run_train_device_sampling(
                 train_dataset, valid_dataset, cfg, tx, schedule, state,
                 current_epoch, global_step, num_epoch, log_step, save_step,
                 checkpoint_path, log_path, log_fp, summary, max_steps, time_step,
-                pred_t_span,
+                pred_t_span, mesh=mesh,
             )
 
         # ---- compiled steps ----
@@ -274,6 +274,7 @@ class InterfacePhysics:
         self._install_preemption_handler(preempted)
 
         valid_iter: Iterator = iter(valid_loader)
+        steps_since_log = 0
         stop = False
         for epoch in range(current_epoch, num_epoch):
             if stop:
@@ -283,11 +284,13 @@ class InterfacePhysics:
                 global_step += 1
                 batch = self._shard(self._to_batch(data))
                 state, metrics = train_step(state, batch, with_pde)
+                steps_since_log += 1
 
                 if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
                     m = self._fetch_metrics(metrics)
-                    fps = time_metric.get_fps(log_step * batch_size)
+                    fps = time_metric.get_fps(steps_since_log * batch_size)
                     time_metric.reset()
+                    steps_since_log = 0
                     fh = float(np.asarray(data["forecast_h"]).reshape(-1)[0])
                     parts = [
                         f"epoch:{epoch}/{num_epoch}", f"batch:{batch_id}/{len(train_loader)}",
@@ -366,6 +369,23 @@ class InterfacePhysics:
         """Mesh data-parallel training (replaces the reference's DDP path)."""
         return self.run_train_interface(dist=True, **kwargs)
 
+    def _device_mode_validation(self, valid_dataset, cfg, state, with_pde):
+        """One host-sampled validation batch for the device-sampling loop."""
+        try:
+            if not hasattr(self, "_valid_eval_step"):
+                self._valid_eval_step = make_eval_step(self.physics_net, cfg)
+                self._valid_item = 0
+            item = valid_dataset[self._valid_item % len(valid_dataset)]
+            self._valid_item += 1
+            batch = self._to_batch({k: (np.asarray(v)[None] if not isinstance(v, str)
+                                        else [v]) for k, v in item.items()
+                                    if k != "input_file"})
+            return self._fetch_metrics(
+                self._valid_eval_step(state.params, batch, with_pde))
+        except Exception as e:  # validation must never kill training
+            print(f"warning: device-mode validation failed ({e})")
+            return None
+
     @staticmethod
     def _install_preemption_handler(flag: dict) -> None:
         """SIGTERM -> finish the current step, checkpoint, exit cleanly."""
@@ -387,12 +407,13 @@ class InterfacePhysics:
         self, train_dataset, valid_dataset, cfg, tx, schedule, state,
         current_epoch, global_step, num_epoch, log_step, save_step,
         checkpoint_path, log_path, log_fp, summary, max_steps, time_step,
-        pred_t_span,
+        pred_t_span, mesh=None,
     ):
         """Training loop with on-device point sampling (train/device_sampling.py).
 
         The host only decodes files into window cubes; every optimizer step
-        draws fresh points on-device.
+        draws fresh points on-device.  With a mesh, one window feeds each
+        `data` slot (parallel.make_sharded_device_sampling_step).
         """
         from deepphysinet_tpu.train.device_sampling import (
             CubeBatch, SamplerConfig, make_device_sampling_train_step)
@@ -409,9 +430,23 @@ class InterfacePhysics:
             fine_step=float(train_dataset.out_lon[1] - train_dataset.out_lon[0]),
             coarse_step=float(train_dataset.in_lon[1] - train_dataset.in_lon[0]),
         )
-        step = make_device_sampling_train_step(self.physics_net, tx, cfg, scfg)
+        if mesh is not None:
+            from deepphysinet_tpu.parallel.sharding import (
+                make_sharded_device_sampling_step)
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            step = make_sharded_device_sampling_step(self.physics_net, tx, cfg, mesh, scfg)
+            data_sharding = NamedSharding(mesh, _P("data"))
+            loader_batch = mesh.shape["data"]
+        else:
+            step = make_device_sampling_train_step(self.physics_net, tx, cfg, scfg)
+            data_sharding = None
+            loader_batch = 1
         key = jax.random.PRNGKey(int(global_step) + 1)
         time_metric = TimeMetric()
+        steps_since_log = 0
+        preempted = {"flag": False}
+        self._install_preemption_handler(preempted)
 
         class _CubeView:
             def __init__(self, ds):
@@ -425,18 +460,21 @@ class InterfacePhysics:
 
         from deepphysinet_tpu.data.pipeline import PrefetchLoader
 
-        loader = PrefetchLoader(_CubeView(train_dataset), batch_size=1, shuffle=True,
-                                drop_last=True, num_workers=2)
+        loader = PrefetchLoader(_CubeView(train_dataset), batch_size=loader_batch,
+                                shuffle=True, drop_last=True, num_workers=2)
 
-        # Device-side window cache: the same window's cubes transfer once and
+        # Device-side window cache (LRU): a window's cubes transfer once and
         # are resampled on-device every visit (host->device through a tunnel
-        # can cost ~1 s for the 22 MB label cube; cache cap ~8 windows).
-        cube_cache: dict = {}
+        # can cost ~1 s for the 22 MB label cube; cap ~8 windows, evict oldest).
+        from collections import OrderedDict
+
+        cube_cache: "OrderedDict" = OrderedDict()
         cache_cap = int(self.train_cfg.get("tpu", {}).get("device_cube_cache", 8))
 
         def to_device_cube(data) -> "CubeBatch":
             key = tuple(data["input_file"])
             if key in cube_cache:
+                cube_cache.move_to_end(key)
                 return cube_cache[key]
             cube = CubeBatch(
                 field=jnp.asarray(data["field_data"], jnp.float32),
@@ -444,8 +482,9 @@ class InterfacePhysics:
                 nwp_cube=jnp.asarray(data["nwp_cube"], jnp.float32),
                 label_cube=jnp.asarray(data["label_cube"], jnp.float32),
             )
-            if len(cube_cache) < cache_cap:
-                cube_cache[key] = cube
+            cube_cache[key] = cube
+            if len(cube_cache) > cache_cap:
+                cube_cache.popitem(last=False)
             return cube
 
         stop = False
@@ -457,12 +496,16 @@ class InterfacePhysics:
                     global_step >= self.pde_start_step
                 global_step += 1
                 cube = to_device_cube(data)
+                if data_sharding is not None:
+                    cube = CubeBatch(*(jax.device_put(x, data_sharding) for x in cube))
                 key, sub = jax.random.split(key)
                 state, metrics = step(state, cube, sub, with_pde)
+                steps_since_log += 1
                 if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
                     m = self._fetch_metrics(metrics)
-                    fps = time_metric.get_fps(log_step)
+                    fps = time_metric.get_fps(steps_since_log)
                     time_metric.reset()
+                    steps_since_log = 0
                     line = (f"[device-sampled] epoch:{epoch}/{num_epoch},iter:{global_step},"
                             f"train loss:{m['total_loss']:.6f},margin:{m['margin_loss']:.6f},"
                             f"grad:{m['grad_norm']:.3e},fps:{fps:.3f}")
@@ -471,6 +514,20 @@ class InterfacePhysics:
                     log_fp.flush()
                     for k, v in m.items():
                         summary.add_scalar(f"training/{k}", v, global_step)
+                    # interleaved validation batch (host-sampled eval path)
+                    if len(valid_dataset) > 0:
+                        vm = self._device_mode_validation(valid_dataset, cfg, state, with_pde)
+                        if vm is not None:
+                            log_fp.write(f"valid loss:{vm['total_loss']:.6f}\n")
+                            for k, v in vm.items():
+                                summary.add_scalar(f"validation/{k}", v, global_step)
+                if preempted["flag"]:
+                    print(f"preemption: saving checkpoint at step {global_step}")
+                    ckpt.save_model(checkpoint_path, epoch, global_step,
+                                    params=state.params, opt_state=state.opt_state,
+                                    prefix="physics")
+                    stop = True
+                    break
                 if max_steps and global_step >= max_steps:
                     stop = True
                     break

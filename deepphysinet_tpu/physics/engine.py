@@ -19,7 +19,7 @@ equations need.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,22 +74,28 @@ def residual_losses_from_fields(
     coriolis_f: jnp.ndarray,
     loss_factor: Dict[str, float],
     constants: PhysicalConstants = DEFAULT_CONSTANTS,
+    criterion: Optional[Callable] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Assemble the six equation losses from already-computed fields/derivs."""
+    """Assemble the six equation losses from already-computed fields/derivs.
+
+    ``criterion(pred, target) -> scalar`` defaults to MSE (the reference
+    config's pde_loss); any registered loss can be passed through.
+    """
+    crit = criterion or _mse
     fields, derivs = fd.fields, fd.derivs
     losses = {}
     diff, const = eqs.momentum_u_residual(fields, derivs, coriolis_f, constants)
-    losses["montion_u_loss"] = _mse(diff, const) * loss_factor["motion_u_factor"]
+    losses["montion_u_loss"] = crit(diff, const) * loss_factor["motion_u_factor"]
     diff, const = eqs.momentum_v_residual(fields, derivs, coriolis_f, constants)
-    losses["montion_v_loss"] = _mse(diff, const) * loss_factor["motion_v_factor"]
+    losses["montion_v_loss"] = crit(diff, const) * loss_factor["motion_v_factor"]
     diff, const = eqs.continuity_residual(fields, derivs, constants)
-    losses["continous_loss"] = _mse(diff, const) * loss_factor["continuous_factor"]
+    losses["continous_loss"] = crit(diff, const) * loss_factor["continuous_factor"]
     diff, const = eqs.energy_residual(fields, derivs, constants)
-    losses["energy_loss"] = _mse(diff, const) * loss_factor["energy_factor"]
+    losses["energy_loss"] = crit(diff, const) * loss_factor["energy_factor"]
     diff, const = eqs.vapor_residual(fields, derivs, constants)
-    losses["vapor_loss"] = _mse(diff, const) * loss_factor["vapor_factor"]
+    losses["vapor_loss"] = crit(diff, const) * loss_factor["vapor_factor"]
     diff, const = eqs.gas_residual(fields, constants)
-    losses["gas_loss"] = _mse(diff, const) * loss_factor["gas_factor"]
+    losses["gas_loss"] = crit(diff, const) * loss_factor["gas_factor"]
     losses["total"] = (
         losses["montion_u_loss"] + losses["montion_v_loss"] + losses["energy_loss"]
         + losses["continous_loss"] + losses["vapor_loss"] + losses["gas_loss"]
@@ -122,7 +128,8 @@ def fields_from_primal_tangents(
         p_norm = primal[:, i : i + 1]
         clip = with_clip and clipped[i] and spec.bound is not None
         p_phys = inverse_normalize(p_norm, spec, with_clip=clip)
-        std = jnp.asarray(spec.norm_factor[1], jnp.float32)
+        std = (jnp.asarray(spec.norm_factor[1], jnp.float32)
+               if spec.use_norm else jnp.asarray(1.0, jnp.float32))
         scale = std
         if clip:
             lo, hi = spec.bound
@@ -190,13 +197,15 @@ def pde_residual_losses(
     coriolis_f: jnp.ndarray,  # [N, 1]
     loss_factor: Dict[str, float],
     constants: PhysicalConstants = DEFAULT_CONSTANTS,
+    criterion: Optional[Callable] = None,
 ) -> Dict[str, jnp.ndarray]:
     """All six equation losses for one collocation batch.
 
-    Mirrors place_one_batch (interface_physics.py:271-320): each residual is an
-    MSE against its balance term, scaled by the configured factor
+    Mirrors place_one_batch (interface_physics.py:271-320): each residual is
+    evaluated against its balance term with the configured pde criterion
+    (MSE by default) and scaled by the configured factor
     (configs/DeepPhysiNet_NCEP_cfg.py:139-148).  Returns per-equation losses
     plus their sum under ``"total"``.
     """
     fd = linearized_fields(phys_fn, coords)
-    return residual_losses_from_fields(fd, coriolis_f, loss_factor, constants)
+    return residual_losses_from_fields(fd, coriolis_f, loss_factor, constants, criterion)

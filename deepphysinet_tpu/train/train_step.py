@@ -107,6 +107,7 @@ def _window_losses(
     from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 
     factors = cfg.factors()
+    pde_criterion = None if cfg.pde_loss == "MSELoss" else build_loss(cfg.pde_loss)
     out: Dict[str, jnp.ndarray] = {}
 
     if with_pde and cfg.pde_engine != "kernel":
@@ -134,7 +135,7 @@ def _window_losses(
         }
         m_losses = residual_losses_from_fields(
             FieldDerivatives(fields=fields, derivs=derivs), margin.f, factors,
-            cfg.constants)
+            cfg.constants, pde_criterion)
         for k, v in m_losses.items():
             out[f"margin_{k}"] = v
     else:
@@ -159,14 +160,15 @@ def _window_losses(
                     model, params, tokens, coords, pts.nwp, fore_h,
                     cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
                 )
-                losses = residual_losses_from_fields(fd, pts.f, factors, cfg.constants)
+                losses = residual_losses_from_fields(fd, pts.f, factors,
+                                                     cfg.constants, pde_criterion)
             else:
                 phys_fn = make_phys_fn(
                     model, params, tokens, pts.nwp, fore_h, cfg.coord_spec,
                     cfg.obs_specs, with_clip=True,
                 )
                 losses = pde_residual_losses(
-                    phys_fn, coords, pts.f, factors, cfg.constants
+                    phys_fn, coords, pts.f, factors, cfg.constants, pde_criterion
                 )
             for k, v in losses.items():
                 out[f"{prefix}_{k}"] = v

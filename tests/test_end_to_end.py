@@ -51,9 +51,16 @@ def test_train_checkpoint_resume_inference(smoke_cfg):
     jpgs = glob.glob(os.path.join(root, "inference_out", "*_vis.jpg"))
     assert tiffs and jpgs
 
-    # exported GeoTIFF reads back with the study-area geo-transform
+    # exported GeoTIFF reads back with the study-area geo-transform, NORTH-UP:
+    # row 0 georeferences the max latitude and holds the grid's last row
     from deepphysinet_tpu.data.geotiff import read_tiff
 
-    img, geo = read_tiff(tiffs[0])
+    t_tiffs = sorted(t for t in tiffs if t.endswith("_T.tiff"))
+    img, geo = read_tiff(t_tiffs[0])
     assert img.shape[:2] == tuple(cfg["img_size"])
     assert geo is not None and abs(geo[1] - 0.25) < 1e-9
+    assert geo[5] < 0  # negative dy = north-up
+    lat_size = cfg["img_size"][0]
+    assert abs(geo[3] - (18.0 + 0.25 * (lat_size - 1))) < 1e-9
+    # first exported frame is ref_time; grids from results[0] compare flipped
+    np.testing.assert_allclose(img[:, :, 0], grids["T"][::-1], rtol=1e-6)
