@@ -13,6 +13,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# DPN_PLATFORM=cpu forces the JAX backend (the axon sitecustomize pins
+# JAX_PLATFORMS, so plain env vars cannot override it)
+if os.environ.get("DPN_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["DPN_PLATFORM"])
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -12,6 +12,13 @@ import argparse
 import os
 import zipfile
 
+# DPN_PLATFORM=cpu forces the JAX backend (the axon sitecustomize pins
+# JAX_PLATFORMS, so plain env vars cannot override it)
+if os.environ.get("DPN_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["DPN_PLATFORM"])
+
 
 def zip_codes(src_dir: str, dst_file: str) -> None:
     """Source snapshot into the checkpoint dir (reference train.py:45-46)."""
