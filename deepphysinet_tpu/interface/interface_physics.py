@@ -387,6 +387,12 @@ class InterfacePhysics:
             return None
 
     @staticmethod
+    def print_key_args(**kwargs):
+        """interface_physics.py:1538-1541 parity."""
+        for key, value in kwargs.items():
+            print(f"{key}:{value}")
+
+    @staticmethod
     def _install_preemption_handler(flag: dict) -> None:
         """SIGTERM -> finish the current step, checkpoint, exit cleanly."""
         import signal
