@@ -135,3 +135,17 @@ def test_nonfinite_gradient_guard(setup):
     state, m = step(state, batch, with_pde=False)
     assert float(m["skipped_nonfinite"]) == 0.0
     assert np.isfinite(float(m["total_loss"]))
+
+
+def test_configured_pde_loss_is_used(setup):
+    """losses.pde_loss.name must change the PDE losses (was silently MSE)."""
+    import dataclasses
+
+    model, cfg, tx, make_state, batch = setup
+    out = {}
+    for name in ("MSELoss", "L1Loss"):
+        state = make_state()
+        step = make_train_step(model, tx, dataclasses.replace(cfg, pde_loss=name))
+        _, m = step(state, batch, with_pde=True)
+        out[name] = float(m["inter_gas_loss"])
+    assert out["MSELoss"] != out["L1Loss"]
