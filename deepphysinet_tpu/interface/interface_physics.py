@@ -99,6 +99,7 @@ class InterfacePhysics:
         self.attn_impl = tpu_cfg.get("attn_impl")
         self.pde_start_step = int(tpu_cfg.get("pde_start_step", 2000))
         self.sample_mode = str(tpu_cfg.get("sample_mode", "host"))
+        self.pde_engine = str(tpu_cfg.get("pde_engine", "linearize"))
 
         meta = {k: v for k, v in self.meta_cfg.items() if k not in ("name",)}
         net = {k: v for k, v in self.net_cfg.items() if k not in ("name",)}
@@ -151,6 +152,7 @@ class InterfacePhysics:
             prediction_beta=float(losses["prediction_loss"].get("beta", 0.1)),
             pde_loss=losses["pde_loss"]["name"],
             pde_start_step=self.pde_start_step,
+            pde_engine=self.pde_engine,
         )
 
     @staticmethod
