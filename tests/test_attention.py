@@ -66,3 +66,22 @@ def test_flash_attention_matches_xla_interpret(rng):
                            functools.partial(orig, interpret=True)):
         out = attn_mod._attention_flash(q, k, v, scale, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_impl_routes_long_sequences_to_flash(monkeypatch):
+    """impl='pallas' must route L > threshold to the blockwise flash kernel
+    (the single-tile kernel's L x L scores would not fit VMEM)."""
+    from deepphysinet_tpu.ops import attention as attn_mod
+
+    calls = {}
+    monkeypatch.setattr(attn_mod, "_attention_flash",
+                        lambda q, k, v, s: calls.setdefault("flash", True) or q)
+    monkeypatch.setattr(attn_mod, "_attention_pallas",
+                        lambda q, k, v, s: calls.setdefault("tile", True) or q)
+    q = jnp.zeros((1, attn_mod._FLASH_THRESHOLD + 1, 2, 8))
+    attn_mod.fused_attention(q, q, q, 0.5, "pallas")
+    assert calls == {"flash": True}
+    calls.clear()
+    q = jnp.zeros((1, 64, 2, 8))
+    attn_mod.fused_attention(q, q, q, 0.5, "pallas")
+    assert calls == {"tile": True}
