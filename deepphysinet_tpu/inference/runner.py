@@ -210,7 +210,9 @@ def run_inference(interface, **kwargs):
                 geo = (dataset.begin_lon, step, 0.0,
                        dataset.begin_lat + step * (h - 1), 0.0, -step)
                 save_full_image(os.path.join(vis_path, f"{stamp}_{variable_name}.tiff"),
-                                img[::-1], geo_transform=geo)
+                                img[::-1], geo_transform=geo,
+                                projection="EPSG:4326",  # lat/lon study grid
+                                compression="deflate", tiled=True)
         results.append((ref_time, grids))
         ref_time += datetime.timedelta(seconds=dt)
     return results

@@ -36,7 +36,7 @@ def process(data_files, thread_id=0):
         T = read_full_image(t_file, as_rgb=False, normalize=False)[0]
         q = read_full_image(q_file, as_rgb=False, normalize=False)[0]
         rio = P / ((1 + 0.608 * q) * R_D) / T
-        save_full_image(rio_file, rio.astype(np.float32))
+        save_full_image(rio_file, rio.astype(np.float32), compression="deflate", tiled=True)
 
 
 if __name__ == "__main__":

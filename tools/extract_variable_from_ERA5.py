@@ -60,7 +60,7 @@ def process(data_files, result_path, var_name_list, proj_name_list, start_time, 
                     )
                     pres = read_full_image(pres_file, as_rgb=False, normalize=False)[0]
                     data = specific_humidity_from_dewpoint(pres, data)
-                save_full_image(out, data.astype(np.float32))
+                save_full_image(out, data.astype(np.float32), compression="deflate", tiled=True)
 
 
 if __name__ == "__main__":

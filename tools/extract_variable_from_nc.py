@@ -76,7 +76,7 @@ def process_surface(data_files, result_folder, var_name_list, proj_name_list, th
                         )
                         pres = read_full_image(pres_file, as_rgb=False, normalize=False)[0]
                         data = specific_humidity_from_dewpoint(pres, data)
-                    save_full_image(out, data.astype(np.float32))
+                    save_full_image(out, data.astype(np.float32), compression="deflate", tiled=True)
 
 
 def process_pressure(data_files, data_path, result_folder, thread_id=0):
@@ -111,7 +111,7 @@ def process_pressure(data_files, data_path, result_folder, thread_id=0):
                          for lv in PRESSURE_LEVELS],
                         axis=-3,
                     )
-                    save_full_image(out, stack.astype(np.float32), data_format="GDAL_FORMAT")
+                    save_full_image(out, stack.astype(np.float32), data_format="GDAL_FORMAT", compression="deflate", tiled=True)
 
 
 if __name__ == "__main__":
