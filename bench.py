@@ -153,10 +153,9 @@ def main() -> None:
     step_time = (t2 - t1) / 200.0
     train_evals = (n_margin + n_inter) * B / max(step_time, 1e-9)
 
-    # (the pde_engine='kernel' training step was measured once at 16.3 ms --
-    # recompute-in-backward makes it slower than linearize at this size, so
-    # training defaults to linearize and bench doesn't re-time it; docs/PERF.md)
-    print(f"context: train_step(linearize)={step_time*1e3:.2f} ms "
+    # (engine comparison at this geometry, docs/PERF.md: jvp 8.93 ms <
+    # linearize 9.24 ms < kernel-trainable 11.2 ms; training defaults to jvp)
+    print(f"context: train_step({step_cfg.pde_engine})={step_time*1e3:.2f} ms "
           f"({train_evals/1e6:.2f}M pts/s incl. grad+Adam); "
           f"residual_eval={eval_time*1e3:.2f} ms @ {n_eval} pts",
           file=sys.stderr)

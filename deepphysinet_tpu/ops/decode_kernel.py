@@ -459,6 +459,254 @@ def fused_decode_jvp_v3(
     return primal[:n], tang[:, :n]
 
 
+class FusedDecodeWeights(NamedTuple):
+    """Algebraically collapsed decode weights (kernel/twin v4).
+
+    Because each VariableNet ends in a scalar head (variable_net.py:85 ->
+    out_fc [hid, 1]), the trunk output y = F2(relu(F1 c)) + 2c is only ever
+    consumed as y . wo.  Re-associating the matmul chain per window:
+
+        r  = p @ (w2 f1) + cd_pe @ (wd f1) + rbias          (full, for relu)
+        o  = relu(r) . (f2 wo) + 2 (p . (w2 wo) + cd_pe . (wd wo)) + obias
+
+    eliminates the f2 matmul and the full materialization of c entirely:
+    per point per variable the MXU work drops from ~1.87 MFLOP to ~0.82 MFLOP
+    (the fusions cost six [256,256]x[256,*] matmuls once per window).
+    Same function of the same parameters -- gradients flow through the
+    fusion einsums unchanged.
+    """
+
+    w1: jnp.ndarray  # [6, in_ch, hid] generated layer 1
+    w1c: jnp.ndarray  # [6, 3, in_ch//3, hid] channel-sliced tangent rows
+    b1: jnp.ndarray  # [6, hid]
+    w2f1: jnp.ndarray  # [6, hid, hid] = w2 @ f1
+    wdf1: jnp.ndarray  # [6, in_ch, hid] = wd @ f1
+    rbias: jnp.ndarray  # [6, hid] = (b2 + bd + fh_add) @ f1 + g1
+    fw2: jnp.ndarray  # [6, hid] = f2 @ wo
+    w2wo: jnp.ndarray  # [6, hid] = w2 @ wo
+    wdwo: jnp.ndarray  # [6, in_ch] = wd @ wo
+    obias: jnp.ndarray  # [6] = g2.wo + 2 (b2 + bd + fh_add).wo + bo
+
+
+def fuse_decode_weights(w: DecodeWeights) -> FusedDecodeWeights:
+    """Per-window f32 weight fusion for the collapsed decode (v4)."""
+    cbias = w.b2 + w.bd + w.fh_add  # [6, hid] constant part of c
+    return FusedDecodeWeights(
+        w1=w.w1,
+        w1c=slice_tangent_weights(w.w1),
+        b1=w.b1,
+        w2f1=jnp.einsum("vij,vjk->vik", w.w2, w.f1),
+        wdf1=jnp.einsum("vij,vjk->vik", w.wd, w.f1),
+        rbias=jnp.einsum("vj,vjk->vk", cbias, w.f1) + w.g1,
+        fw2=jnp.einsum("vjk,vk->vj", w.f2, w.wo),
+        w2wo=jnp.einsum("vjk,vk->vj", w.w2, w.wo),
+        wdwo=jnp.einsum("vjk,vk->vj", w.wd, w.wo),
+        obias=jnp.einsum("vk,vk->v", w.g2, w.wo)
+        + 2.0 * jnp.einsum("vk,vk->v", cbias, w.wo)
+        + w.bo,
+    )
+
+
+def _decode_kernel_v4(
+    pe_ref, dpe_ref, cdpe_ref, ref_ref,
+    w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, cdt,
+):
+    """v4: collapsed-algebra decode + 3 tangents (see FusedDecodeWeights).
+
+    Per variable: two relu layers' pre-activations are the only full-width
+    matmuls; primal and the 3 tangent rows share the big [4Nb, hid] trunk
+    matmul; everything after the second relu is lane reductions on the VPU.
+    """
+    f32 = jnp.float32
+    P_in = pe_ref[...]  # [Nb, in_ch] cdt
+    T_in = dpe_ref[...]  # [3, Nb, in_ch//3] cdt compact
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    primal_cols, tang_cols = [], []
+    for v in range(n_vars):
+        z = dot(P_in, w1_ref[v]) + b1_ref[v][None, :]
+        mask = z > 0
+        p = jnp.maximum(z, 0.0)  # f32: feeds the w2wo reduction of o
+        # masked tangents staged in cdt: they only feed matmuls and one
+        # reduction, and the smaller buffers keep block_n=512 inside VMEM
+        t16 = jnp.concatenate(
+            [jnp.where(mask, dot(T_in[k], w1c_ref[v, k]), 0.0).astype(cdt)
+             for k in range(3)], axis=0)  # [3Nb, hid]
+
+        rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) \
+            + rbias_ref[v][None, :]  # [Nb, hid]
+        rt = dot(t16, w2f1_ref[v])  # [3Nb, hid]
+        maskr = rp > 0
+        pr = jnp.maximum(rp, 0.0)
+        tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
+
+        fw2 = fw2_ref[v][None, :].astype(f32)
+        w2wo = w2wo_ref[v][None, :].astype(f32)
+        wdwo = wdwo_ref[v][None, :].astype(f32)
+        o = (
+            jnp.sum(pr * fw2, axis=-1)
+            + 2.0 * (jnp.sum(p * w2wo, axis=-1) + jnp.sum(CD.astype(f32) * wdwo, axis=-1))
+            + obias_ref[v]
+            + ref_ref[:, v]
+        )  # [Nb]
+        to = (jnp.sum(tr * fw2, axis=-1)
+              + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))  # [3Nb]
+        primal_cols.append(o[:, None])
+        tang_cols.append(to.reshape(3, block_n)[:, :, None])
+
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1)
+
+
+def fused_decode_jvp_v4(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,  # [N, in_ch] f32
+    dpe: jnp.ndarray,  # [3, N, in_ch//3] f32 compact
+    cd_pe: jnp.ndarray,  # [N, in_ch] f32
+    ref: jnp.ndarray,  # [N, 6] normalized conditioning values (residual head)
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primal [N, 6] + tangents [3, N, 6] via the collapsed v4 kernel.
+
+    block_n=256 fits the default 16 MB scoped-VMEM limit; larger blocks need
+    ``vmem_limit_bytes`` raised (v5e has 128 MB physical VMEM)."""
+    n, in_ch = pe.shape
+    ch = dpe.shape[-1]
+    n_vars = fw.w1.shape[0]
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+        dpe = jnp.pad(dpe, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        ref = jnp.pad(ref, ((0, pad), (0, 0)))
+    n_pad = pe.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1.astype(cd), fw.w1c.astype(cd), fw.b1.astype(f32),
+          fw.w2f1.astype(cd), fw.wdf1.astype(cd), fw.rbias.astype(f32),
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32),
+          fw.obias.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(_decode_kernel_v4, block_n=block_n, n_vars=n_vars, cdt=cd)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        **extra,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_vars), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad, n_vars), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, ch), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd), ref.astype(jnp.float32), *wt)
+    return primal[:n], tang[:, :n]
+
+
+def decode_jvp_xla_v4(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,
+    dpe: jnp.ndarray,  # [3, N, in_ch//3] compact
+    cd_pe: jnp.ndarray,
+    ref: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA twin of the v4 kernel: identical collapsed math, plain jnp.
+
+    Fully differentiable -- this is both the CPU fallback and the function
+    whose VJP backs the trainable kernel wrapper; it is also the decode used
+    by the ``pde_engine='jvp'`` training path (the analytic forward-mode
+    replacement for jax.linearize with the cheap algebra).
+    """
+    cdt = compute_dtype
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jnp.einsum("...i,io->...o", a.astype(cdt), w.astype(cdt),
+                          preferred_element_type=f32)
+
+    primal_cols, tang_cols = [], []
+    for v in range(fw.w1.shape[0]):
+        z = dot(pe, fw.w1[v]) + fw.b1[v]
+        tz = jnp.stack([dot(dpe[k], fw.w1c[v, k]) for k in range(3)], 0)  # [3, N, hid]
+        mask = (z > 0).astype(f32)
+        p = jnp.maximum(z, 0.0)
+        t = tz * mask[None]
+        r = dot(p, fw.w2f1[v]) + dot(cd_pe, fw.wdf1[v]) + fw.rbias[v]
+        maskr = (r > 0).astype(f32)
+        pr = jnp.maximum(r, 0.0)
+        tr = dot(t, fw.w2f1[v]) * maskr[None]
+        o = (jnp.sum(pr * fw.fw2[v], -1)
+             + 2.0 * (jnp.sum(p * fw.w2wo[v], -1) + jnp.sum(cd_pe.astype(f32) * fw.wdwo[v], -1))
+             + fw.obias[v] + ref[:, v])
+        to = jnp.sum(tr * fw.fw2[v], -1) + 2.0 * jnp.sum(t * fw.w2wo[v], -1)
+        primal_cols.append(o)
+        tang_cols.append(to)
+    primal = jnp.stack(primal_cols, -1)  # [N, 6]
+    tang = jnp.stack(tang_cols, -1)  # [3, N, 6]
+    return primal, tang
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_decode_jvp_trainable_v4(fw, pe, dpe, cd_pe, ref,
+                                  block_n=256, compute_dtype=jnp.bfloat16):
+    """Differentiable v4 decode: Pallas kernel forward, XLA-twin backward.
+
+    Gradients are exact for the fused weights and ``ref``; the pe/dpe/cd_pe
+    cotangents come from the twin's VJP (in training they are data and
+    stop-gradient'd upstream -- physics/engine.py:fused_kernel_fields).
+    """
+    if _HAS_PLTPU and jax.default_backend() == "tpu":
+        return fused_decode_jvp_v4(fw, pe, dpe, cd_pe, ref,
+                                   block_n=block_n, compute_dtype=compute_dtype)
+    return decode_jvp_xla_v4(fw, pe, dpe, cd_pe, ref, compute_dtype)
+
+
+def _fused_trainable_v4_fwd(fw, pe, dpe, cd_pe, ref, block_n, compute_dtype):
+    out = fused_decode_jvp_trainable_v4(fw, pe, dpe, cd_pe, ref, block_n, compute_dtype)
+    return out, (fw, pe, dpe, cd_pe, ref)
+
+
+def _fused_trainable_v4_bwd(block_n, compute_dtype, res, g):
+    fw, pe, dpe, cd_pe, ref = res
+    _, vjp = jax.vjp(
+        lambda w, a, b, c, r: decode_jvp_xla_v4(w, a, b, c, r, compute_dtype),
+        fw, pe, dpe, cd_pe, ref,
+    )
+    return vjp(g)
+
+
+fused_decode_jvp_trainable_v4.defvjp(_fused_trainable_v4_fwd, _fused_trainable_v4_bwd)
+
+
 def decode_jvp_xla(
     weights: DecodeWeights,
     pe: jnp.ndarray,

@@ -70,18 +70,33 @@ class StepConfig:
     obs_specs: Tuple[NormSpec, ...]  # OBS_NAME_ORDER
     loss_factor: Any  # dict of factors (configs/...:139-148); hashable via tuple items
     forecast_time_period: float = 360.0
+    # dist-path lead-time snapping (reference interface_physics.py:996-997:
+    # forecast_h // window_h * window_h before normalization); 0 = off, which
+    # is the reference's single-GPU behavior
+    forecast_h_snap: float = 0.0
     prediction_loss: str = "WeightSmoothL1Loss"
     prediction_beta: float = 0.1
     pde_loss: str = "MSELoss"
     grad_clip_norm: float = 2.5e7
     pde_start_step: int = 2000
     constants: PhysicalConstants = DEFAULT_CONSTANTS
-    # 'linearize' = pure-XLA forward-mode engine; 'kernel' = fused Pallas
-    # decode+jvp forward with XLA-twin backward (TPU only)
-    pde_engine: str = "linearize"
+    # 'jvp' (default) = analytic-tangent collapsed-algebra XLA path
+    #   (decode_jvp_xla_v4, fully differentiable, shares the margin primal
+    #   with the data loss; 8.93 ms vs linearize's 9.24 ms, docs/PERF.md);
+    # 'linearize' = jax.linearize over the model decode (round-1 default,
+    #   required for non-mean_norm observation normalization);
+    # 'kernel' = fused Pallas v4 forward with XLA-twin backward (TPU only)
+    pde_engine: str = "jvp"
 
     def factors(self) -> Dict[str, float]:
         return dict(self.loss_factor)
+
+
+def _snap_forecast_h(forecast_h: jnp.ndarray, cfg: "StepConfig") -> jnp.ndarray:
+    """Snap lead hours down to the window grid when cfg.forecast_h_snap > 0."""
+    if cfg.forecast_h_snap > 0:
+        return jnp.floor(forecast_h / cfg.forecast_h_snap) * cfg.forecast_h_snap
+    return forecast_h
 
 
 def _window_losses(
@@ -103,14 +118,27 @@ def _window_losses(
     evaluates those 20480 points twice (interface_physics.py:467 then :493).
     """
     from deepphysinet_tpu.physics.engine import (
-        FieldDerivatives, FIELD_KEYS, fused_kernel_fields, residual_losses_from_fields)
+        FieldDerivatives, FIELD_KEYS, fused_kernel_fields, jvp_fields,
+        residual_losses_from_fields)
     from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 
     factors = cfg.factors()
     pde_criterion = None if cfg.pde_loss == "MSELoss" else build_loss(cfg.pde_loss)
     out: Dict[str, jnp.ndarray] = {}
 
-    if with_pde and cfg.pde_engine != "kernel":
+    def engine_fields(pts: PointBatch):
+        """(primal_norm, FieldDerivatives) for one point set via cfg.pde_engine."""
+        coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
+        if cfg.pde_engine == "kernel":
+            fd = fused_kernel_fields(
+                model, params, tokens, coords, pts.nwp, fore_h,
+                cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
+            )
+            return None, fd
+        return jvp_fields(model, params, tokens, coords, pts.nwp, fore_h,
+                          cfg.coord_spec, cfg.obs_specs, with_clip=True)
+
+    if with_pde and cfg.pde_engine == "linearize":
         # --- shared margin evaluation: data loss + PDE in one linearize ---
         margin_nwp = jax.lax.stop_gradient(margin.nwp)
 
@@ -138,6 +166,18 @@ def _window_losses(
             cfg.constants, pde_criterion)
         for k, v in m_losses.items():
             out[f"margin_{k}"] = v
+    elif with_pde:
+        # --- shared margin evaluation via the jvp/kernel engine: the engine's
+        # normalized primal doubles as the data-loss prediction ---
+        pred, fd = engine_fields(margin)
+        if pred is None:  # kernel path: fields are physical; decode pred once
+            pe = encode_coord(margin.x, margin.y, margin.t, cfg.coord_spec)
+            pred = model.apply(params, tokens, pe, margin.nwp, fore_h,
+                               method=PhysicsNet.decode)
+        m_losses = residual_losses_from_fields(fd, margin.f, factors,
+                                               cfg.constants, pde_criterion)
+        for k, v in m_losses.items():
+            out[f"margin_{k}"] = v
     else:
         # --- data loss only (interface_physics.py:464-474) ---
         pe = encode_coord(margin.x, margin.y, margin.t, cfg.coord_spec)
@@ -149,29 +189,22 @@ def _window_losses(
     out["_pred_norm"] = pred
 
     if with_pde:
-        # --- remaining PDE evaluations (:476-498) ---
-        targets = [("inter", inter)]
-        if cfg.pde_engine == "kernel":
-            targets.append(("margin", margin))
-        for prefix, pts in targets:
-            coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
-            if cfg.pde_engine == "kernel":
-                fd = fused_kernel_fields(
-                    model, params, tokens, coords, pts.nwp, fore_h,
-                    cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
-                )
-                losses = residual_losses_from_fields(fd, pts.f, factors,
-                                                     cfg.constants, pde_criterion)
-            else:
-                phys_fn = make_phys_fn(
-                    model, params, tokens, pts.nwp, fore_h, cfg.coord_spec,
-                    cfg.obs_specs, with_clip=True,
-                )
-                losses = pde_residual_losses(
-                    phys_fn, coords, pts.f, factors, cfg.constants, pde_criterion
-                )
-            for k, v in losses.items():
-                out[f"{prefix}_{k}"] = v
+        # --- interior collocation points (:476-498) ---
+        coords = jnp.stack([inter.x, inter.y, inter.t], axis=-1)
+        if cfg.pde_engine == "linearize":
+            phys_fn = make_phys_fn(
+                model, params, tokens, inter.nwp, fore_h, cfg.coord_spec,
+                cfg.obs_specs, with_clip=True,
+            )
+            losses = pde_residual_losses(
+                phys_fn, coords, inter.f, factors, cfg.constants, pde_criterion
+            )
+        else:
+            _, fd = engine_fields(inter)
+            losses = residual_losses_from_fields(fd, inter.f, factors,
+                                                 cfg.constants, pde_criterion)
+        for k, v in losses.items():
+            out[f"inter_{k}"] = v
     return out
 
 
@@ -181,7 +214,8 @@ def make_train_step_impl(model: PhysicsNet, tx: optax.GradientTransformation, cf
     pred_loss_fn = build_loss(cfg.prediction_loss, beta=cfg.prediction_beta)
 
     def loss_fn(params, batch: Batch, with_pde: bool):
-        fh_norm = (batch.forecast_h / cfg.forecast_time_period)[:, None]  # [B, 1]
+        fh_norm = (_snap_forecast_h(batch.forecast_h, cfg)
+                   / cfg.forecast_time_period)[:, None]  # [B, 1]
         tokens = model.apply(params, batch.field, fh_norm, method=PhysicsNet.encode)
 
         def one_window(tokens_b, fh_b, margin_b, inter_b):
@@ -241,7 +275,8 @@ def make_eval_step(model: PhysicsNet, cfg: StepConfig):
 
     @functools.partial(jax.jit, static_argnames=("with_pde",))
     def eval_step(params, batch: Batch, with_pde: bool):
-        fh_norm = (batch.forecast_h / cfg.forecast_time_period)[:, None]
+        fh_norm = (_snap_forecast_h(batch.forecast_h, cfg)
+                   / cfg.forecast_time_period)[:, None]
         tokens = model.apply(params, batch.field, fh_norm, method=PhysicsNet.encode)
 
         def one_window(tokens_b, fh_b, margin_b, inter_b):
@@ -276,7 +311,8 @@ def _variable_metrics(pred_norm: jnp.ndarray, labels: jnp.ndarray, cfg: StepConf
 def create_train_state(model: PhysicsNet, tx, rng, sample_batch: Batch) -> TrainState:
     fh_norm = (sample_batch.forecast_h / 360.0)[:, None]
     n = sample_batch.margin.x.shape[-1]
-    pe_dim = 2 * 3 * 32
+    # coordinate-PE width == the decode's in_channels (2 fns x 3 coords x F)
+    pe_dim = model.net_cfg["in_channels"]
     params = model.init(
         rng,
         sample_batch.field,

