@@ -167,6 +167,7 @@ class PhysicsDataset:
         assert len(self.out_lat) == self.label_lat_size
 
         self.input_files, _ = self.filter_input_files()
+        self.constant_path = constant_path
         self.constant_variables = self.load_constant_variables(
             constant_path, constant_variables
         )

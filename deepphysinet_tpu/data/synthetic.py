@@ -24,7 +24,15 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from deepphysinet_tpu.data.geotiff import write_tiff
+import functools
+
+from deepphysinet_tpu.data.geotiff import write_tiff as _write_tiff
+
+# the reference ETL tools emit TILED=TRUE COMPRESS=DEFLATE rasters
+# (tools/extract_variable_from_nc.py:34); the synthetic tree matches that
+# byte format so every dataset/e2e test exercises the real ingest path
+write_tiff = functools.partial(_write_tiff, compression="deflate", tiled=True,
+                               tile_size=16)
 from deepphysinet_tpu.ops.coords import make_latlon_grid, save_coord_pickle
 
 _DATE_FMT = "%Y-%m-%d-%H-%M-%S"

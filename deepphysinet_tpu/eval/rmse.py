@@ -1,11 +1,14 @@
 """ERA5-validation RMSE evaluation (T2m / U10 / V10 / PSFC / q2 / rho).
 
 The driver's accuracy target is ERA5-val RMSE parity on the surface variables
-(BASELINE.json).  This evaluator sweeps a held-out dataset's windows, decodes
-the model at every labeled ERA5 grid point over the full window (all hours),
-and accumulates per-variable RMSE in physical units.  Evaluation runs through
-the same decode the trainer uses; one jit per window shape, one device fetch
-per window.
+(BASELINE.json).  Two evaluators, both decoding through the same path the
+trainer uses, one device fetch per window (tunnel-aware):
+
+* ``evaluate_rmse_fullgrid`` -- the headline number: EVERY labeled grid point
+  (label_lat_size x label_lon_size) at EVERY labeled hour of each window,
+  swept with an on-device lax.scan over hours.
+* ``evaluate_rmse`` -- fast subsampled estimate: per window it re-draws up to
+  ``points_per_window`` of the dataset's sampled margin points.
 """
 
 from __future__ import annotations
@@ -32,7 +35,9 @@ def evaluate_rmse(
     points_per_window: int = 20480,
     seed: int = 0,
 ) -> Dict[str, float]:
-    """Per-variable RMSE (physical units) + bias over held-out windows."""
+    """Subsampled per-variable RMSE (physical units) + bias over held-out
+    windows: up to ``points_per_window`` of each window's sampled margin
+    points.  For the exhaustive sweep use ``evaluate_rmse_fullgrid``."""
     rng = np.random.RandomState(seed)
     sq_sum = np.zeros(6, np.float64)
     bias_sum = np.zeros(6, np.float64)
@@ -74,4 +79,86 @@ def evaluate_rmse(
     out.update({f"bias_{k}": float(bias[i]) for i, k in enumerate(VAR_NAMES)})
     out["n_points"] = float(count)
     out["n_windows"] = float(n_windows)
+    return out
+
+
+def evaluate_rmse_fullgrid(
+    model: PhysicsNet,
+    params,
+    cfg,  # StepConfig
+    dataset,
+    max_windows: Optional[int] = None,
+) -> Dict[str, float]:
+    """Exhaustive per-variable RMSE: the full label grid at every labeled hour.
+
+    Per window: one encode, then a lax.scan over the window's labeled hours
+    decoding all label_lat_size x label_lon_size points and accumulating
+    squared error / bias in physical units ON DEVICE -- a single [2, 6]
+    fetch per window.  This is the BASELINE.json accuracy-parity sweep
+    (reference test_cfg, configs/DeepPhysiNet_NCEP_cfg.py:169-199).
+    """
+    H, W = dataset.label_lat_size, dataset.label_lon_size
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+    xf, yf = xs.reshape(-1), ys.reshape(-1)
+    lon = dataset.begin_lon + xf * 0.25
+    lat = dataset.begin_lat + yf * 0.25
+    x_m = jnp.asarray(xf * dataset.dx, jnp.float32)
+    y_m = jnp.asarray(yf * dataset.dy, jnp.float32)
+    lts = int(dataset.label_time_step)
+    window_h = dataset.input_time_step * dataset.input_time_step_nums
+    n_hours = window_h // lts + 1
+
+    @jax.jit
+    def run_window(params, field, fh_norm, nwp_all, labels_all):
+        # nwp_all / labels_all: [T, H*W, 6] normalized
+        tokens = model.apply(params, field, fh_norm[None, :], method=PhysicsNet.encode)
+
+        def body(carry, inp):
+            t_hour, nwp, lab = inp
+            t_sec = jnp.full_like(x_m, 3600.0) * t_hour
+            pe = encode_coord(x_m, y_m, t_sec, cfg.coord_spec)
+            out = model.apply(params, tokens[0], pe, nwp, fh_norm,
+                              method=PhysicsNet.decode)
+            pred = inverse_norm_stack(out, cfg.obs_specs, with_clip=True)
+            labp = inverse_norm_stack(lab, cfg.obs_specs, with_clip=True)
+            d = (pred - labp).astype(jnp.float32)
+            sq, bs = carry
+            return (sq + jnp.sum(d * d, axis=0), bs + jnp.sum(d, axis=0)), None
+
+        t_hours = jnp.arange(n_hours, dtype=jnp.float32) * lts
+        (sq, bs), _ = jax.lax.scan(
+            body, (jnp.zeros(6), jnp.zeros(6)), (t_hours, nwp_all, labels_all))
+        return jnp.stack([sq, bs])
+
+    sq_sum = np.zeros(6, np.float64)
+    bias_sum = np.zeros(6, np.float64)
+    count = 0
+    n_windows = len(dataset) if max_windows is None else min(max_windows, len(dataset))
+    for w in range(n_windows):
+        input_file = dataset.input_files[w]
+        field = jnp.asarray(dataset.get_item_input(input_file)[None], jnp.float32)
+        prefix, date_str, forecast_h, _ = dataset._parse_item(input_file)
+        fh_norm = jnp.asarray([forecast_h / dataset.forecast_time_period], jnp.float32)
+        label_cube = dataset.get_label_cube(input_file)  # [6, H, W, T] normalized
+        labels_all = np.moveaxis(label_cube.reshape(6, H * W, -1), (0, 2), (2, 0))
+        cube6 = dataset._nwp_cube(input_file)
+        nwp_all = np.stack([
+            dataset._interp_cube_at(cube6, lon, lat, np.full(lon.shape, t * lts))
+            for t in range(n_hours)
+        ])
+        sums = np.asarray(jax.device_get(run_window(
+            params, field, fh_norm,
+            jnp.asarray(nwp_all, jnp.float32),
+            jnp.asarray(labels_all, jnp.float32))), np.float64)  # one fetch
+        sq_sum += sums[0]
+        bias_sum += sums[1]
+        count += H * W * n_hours
+
+    rmse = np.sqrt(sq_sum / max(count, 1))
+    bias = bias_sum / max(count, 1)
+    out = {f"rmse_{k}": float(rmse[i]) for i, k in enumerate(VAR_NAMES)}
+    out.update({f"bias_{k}": float(bias[i]) for i, k in enumerate(VAR_NAMES)})
+    out["n_points"] = float(count)
+    out["n_windows"] = float(n_windows)
+    out["full_grid"] = 1.0
     return out

@@ -136,7 +136,9 @@ def run_inference(interface, **kwargs):
     # reference exports at beijing time = ref_time + 6h (:1520); configurable here
     time_offset_h = float(log_cfg.get("time_offset_hours", 6))
 
-    state_dict, current_epoch, global_step = ckpt.load_model(checkpoint_path, prefix="physics")
+    state_dict, current_epoch, global_step = ckpt.load_checkpoint(
+        checkpoint_path, prefix="physics",
+        backend=getattr(interface, "ckpt_backend", "pickle"))
     if state_dict is None:
         raise FileNotFoundError(checkpoint_path)
     print(f"resume from epoch {current_epoch} global_step {global_step}")
@@ -160,7 +162,10 @@ def run_inference(interface, **kwargs):
     if len(dataset) == 0:
         raise RuntimeError("no input windows found for inference period")
 
-    vis_utils = VisUtils(**log_cfg.get("vis_downscale_cfg", {})) if with_vis else None
+    vis_cfg = dict(log_cfg.get("vis_downscale_cfg", {}))
+    vis_cfg.setdefault("landsea_file",
+                       os.path.join(dataset.constant_path, "landsea.tiff"))
+    vis_utils = VisUtils(**vis_cfg) if with_vis else None
     if with_vis and vis_path:
         os.makedirs(vis_path, exist_ok=True)
 

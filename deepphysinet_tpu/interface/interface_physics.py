@@ -62,7 +62,16 @@ def _summary_writer(log_path: str):
         from tensorboardX import SummaryWriter
 
         return SummaryWriter(log_path)
-    except Exception:  # pragma: no cover - tensorboardX present in target env
+    except Exception as e:  # pragma: no cover - tensorboardX present in target env
+        import warnings
+
+        warnings.warn(
+            f"tensorboardX unavailable ({e}); scalar summaries will NOT be "
+            "recorded for this run (text log + checkpoints are unaffected)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
         class _Null:
             def add_scalar(self, *a, **k):
                 pass
@@ -99,7 +108,18 @@ class InterfacePhysics:
         self.attn_impl = tpu_cfg.get("attn_impl")
         self.pde_start_step = int(tpu_cfg.get("pde_start_step", 2000))
         self.sample_mode = str(tpu_cfg.get("sample_mode", "host"))
-        self.pde_engine = str(tpu_cfg.get("pde_engine", "linearize"))
+        self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
+        # 'jvp' (analytic-tangent collapsed-algebra path) is the default: it
+        # beats linearize at reference geometry (8.93 vs 9.24 ms, docs/PERF.md)
+        # and shares the margin decode with the data loss.  It requires
+        # mean_norm observation normalization; fall back to linearize if any
+        # variable uses another scheme.
+        default_engine = "jvp"
+        for v in self.obs_norm_cfg.values():
+            if v.get("use_norm", True) and str(
+                v.get("norm_type", "mean_norm")).lower() != "mean_norm":
+                default_engine = "linearize"
+        self.pde_engine = str(tpu_cfg.get("pde_engine", default_engine))
 
         meta = {k: v for k, v in self.meta_cfg.items() if k not in ("name",)}
         net = {k: v for k, v in self.net_cfg.items() if k not in ("name",)}
@@ -137,7 +157,8 @@ class InterfacePhysics:
             inter=inter,
         )
 
-    def _step_cfg(self, pred_t_span: float, forecast_time_period: float) -> StepConfig:
+    def _step_cfg(self, pred_t_span: float, forecast_time_period: float,
+                  forecast_h_snap: float = 0.0) -> StepConfig:
         specs = norm_specs_from_cfg(self.obs_norm_cfg)
         losses = self.train_cfg["losses"]
         return StepConfig(
@@ -148,6 +169,7 @@ class InterfacePhysics:
             obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
             loss_factor=dict(losses["loss_factor"]),
             forecast_time_period=float(forecast_time_period),
+            forecast_h_snap=float(forecast_h_snap),
             prediction_loss=losses["prediction_loss"]["name"],
             prediction_beta=float(losses["prediction_loss"].get("beta", 0.1)),
             pde_loss=losses["pde_loss"]["name"],
@@ -199,7 +221,10 @@ class InterfacePhysics:
         window_h = train_dataset.input_time_step * train_dataset.input_time_step_nums
         pred_t_span = float(window_h * 3600)
         self.pred_t_span = pred_t_span
-        cfg = self._step_cfg(pred_t_span, train_dataset.forecast_time_period)
+        # dist-path lead-time snapping to the window grid (reference
+        # interface_physics.py:996-997); single-process path normalizes raw
+        cfg = self._step_cfg(pred_t_span, train_dataset.forecast_time_period,
+                             forecast_h_snap=float(window_h) if dist else 0.0)
 
         sched_cfg = tc.get("lr_schedule")
         opt_cfg = dict(tc["optimizer"])
@@ -230,7 +255,8 @@ class InterfacePhysics:
         )
 
         # ---- state init / resume ----
-        state_dict, current_epoch, global_step = ckpt.load_model(checkpoint_path, prefix="physics")
+        state_dict, current_epoch, global_step = ckpt.load_checkpoint(
+            checkpoint_path, prefix="physics", backend=self.ckpt_backend)
         sample = next(iter(train_loader))
         sample_batch = self._to_batch(sample)
         state = create_train_state(self.physics_net, tx, jax.random.PRNGKey(0), sample_batch)
@@ -263,7 +289,10 @@ class InterfacePhysics:
         if with_vis:
             from deepphysinet_tpu.utils.vis import VisUtils
 
-            vis_utils = VisUtils(**tc["log"].get("vis_downscale_cfg", {}))
+            vis_cfg = dict(tc["log"].get("vis_downscale_cfg", {}))
+            vis_cfg.setdefault("landsea_file", os.path.join(
+                train_dataset.constant_path, "landsea.tiff"))
+            vis_utils = VisUtils(**vis_cfg)
 
         time_metric = TimeMetric()
         lr = schedule(max(current_epoch, 0))
@@ -335,9 +364,10 @@ class InterfacePhysics:
 
                 if preempted["flag"]:
                     print(f"preemption: saving checkpoint at step {global_step}")
-                    ckpt.save_model(checkpoint_path, epoch, global_step,
-                                    params=state.params, opt_state=state.opt_state,
-                                    prefix="physics")
+                    ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
+                                         params=state.params,
+                                         opt_state=state.opt_state,
+                                         prefix="physics", backend=self.ckpt_backend)
                     stop = True
                     break
                 if max_steps and global_step >= max_steps:
@@ -348,8 +378,8 @@ class InterfacePhysics:
                 lr = schedule(epoch + 1)
                 set_learning_rate(state.opt_state, lr)
                 summary.add_scalar("learning_rate", lr, global_step)
-                ckpt.save_model(
-                    checkpoint_path, epoch, global_step,
+                ckpt.save_checkpoint(
+                    checkpoint_path, epoch, global_step, backend=self.ckpt_backend,
                     params=state.params, opt_state=state.opt_state, prefix="physics",
                     dx=self.dx, dy=self.dy, dt=self.dt,
                     pred_x_span=self.dx * self.lon_size,
@@ -371,21 +401,38 @@ class InterfacePhysics:
         """Mesh data-parallel training (replaces the reference's DDP path)."""
         return self.run_train_interface(dist=True, **kwargs)
 
+    _MAX_CONSECUTIVE_VALID_FAILURES = 3
+
     def _device_mode_validation(self, valid_dataset, cfg, state, with_pde):
-        """One host-sampled validation batch for the device-sampling loop."""
+        """One host-sampled validation batch for the device-sampling loop.
+
+        A transient failure (one bad file) must not kill a long run, but a
+        persistent one (shape/config bug) must not degrade into an endless
+        warning stream either: after 3 consecutive failures the error is
+        re-raised.
+        """
         try:
             if not hasattr(self, "_valid_eval_step"):
                 self._valid_eval_step = make_eval_step(self.physics_net, cfg)
                 self._valid_item = 0
+                self._valid_failures = 0
             item = valid_dataset[self._valid_item % len(valid_dataset)]
             self._valid_item += 1
-            batch = self._to_batch({k: (np.asarray(v)[None] if not isinstance(v, str)
-                                        else [v]) for k, v in item.items()
-                                    if k != "input_file"})
-            return self._fetch_metrics(
-                self._valid_eval_step(state.params, batch, with_pde))
-        except Exception as e:  # validation must never kill training
-            print(f"warning: device-mode validation failed ({e})")
+            out = self._fetch_metrics(
+                self._valid_eval_step(state.params, self._to_batch(
+                    {k: (np.asarray(v)[None] if not isinstance(v, str) else [v])
+                     for k, v in item.items() if k != "input_file"}), with_pde))
+            self._valid_failures = 0
+            return out
+        except Exception as e:
+            self._valid_failures = getattr(self, "_valid_failures", 0) + 1
+            if self._valid_failures >= self._MAX_CONSECUTIVE_VALID_FAILURES:
+                raise RuntimeError(
+                    f"device-mode validation failed {self._valid_failures} "
+                    "times in a row; failing the run"
+                ) from e
+            print(f"warning: device-mode validation failed ({e}); "
+                  f"{self._valid_failures}/{self._MAX_CONSECUTIVE_VALID_FAILURES}")
             return None
 
     @staticmethod
@@ -531,9 +578,10 @@ class InterfacePhysics:
                                 summary.add_scalar(f"validation/{k}", v, global_step)
                 if preempted["flag"]:
                     print(f"preemption: saving checkpoint at step {global_step}")
-                    ckpt.save_model(checkpoint_path, epoch, global_step,
-                                    params=state.params, opt_state=state.opt_state,
-                                    prefix="physics")
+                    ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
+                                         params=state.params,
+                                         opt_state=state.opt_state,
+                                         prefix="physics", backend=self.ckpt_backend)
                     stop = True
                     break
                 if max_steps and global_step >= max_steps:
@@ -542,8 +590,8 @@ class InterfacePhysics:
             if epoch % save_step == 0 or stop:
                 lr = schedule(epoch + 1)
                 set_learning_rate(state.opt_state, lr)
-                ckpt.save_model(
-                    checkpoint_path, epoch, global_step,
+                ckpt.save_checkpoint(
+                    checkpoint_path, epoch, global_step, backend=self.ckpt_backend,
                     params=state.params, opt_state=state.opt_state, prefix="physics",
                     dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,
                     label_time_step=time_step,
@@ -557,6 +605,13 @@ class InterfacePhysics:
         return state
 
     def _restore_state(self, state: TrainState, state_dict: dict, tx) -> TrainState:
+        """Rebuild TrainState from a checkpoint dict.
+
+        An optimizer-state structure mismatch is a real resume failure (wrong
+        checkpoint / changed optimizer config) and raises; set
+        ``train_cfg.tpu.allow_partial_resume = True`` to instead reinitialize
+        the Adam moments and continue from the parameters alone.
+        """
         params = jax.tree.map(jnp.asarray, state_dict["model"])
         opt_state = state.opt_state
         if state_dict.get("opt_state") is not None:
@@ -566,7 +621,17 @@ class InterfacePhysics:
                     [jnp.asarray(x) for x in jax.tree.leaves(state_dict["opt_state"])],
                 )
             except Exception as e:
-                print(f"warning: optimizer state not restored ({e}); reinitializing")
+                allow = bool(dict(self.train_cfg.get("tpu", {})).get(
+                    "allow_partial_resume", False))
+                if not allow:
+                    raise RuntimeError(
+                        "checkpoint optimizer state does not match the current "
+                        "optimizer structure; pass train_cfg.tpu."
+                        "allow_partial_resume=True to resume from parameters "
+                        "only (reinitialized Adam moments)"
+                    ) from e
+                print(f"warning: optimizer state not restored ({e}); "
+                      "reinitializing (allow_partial_resume)")
                 opt_state = tx.init(params)
         return TrainState(step=state.step, params=params, opt_state=opt_state)
 
@@ -586,7 +651,8 @@ class InterfacePhysics:
             jnp.asarray(data["field_data"][0:1], jnp.float32), fh, time_id,
             with_clip=False,
         )
-        vis = VisUtils(coord_file=None)
+        vis = VisUtils(coord_file=None, landsea_file=os.path.join(
+            dataset.constant_path, "landsea.tiff"))
         for name, img in grids.items():
             out = os.path.join(out_dir, f"{global_step}_result_{name}_f{int(fh):03d}.jpg")
             vis.forward(img, out, title=f"{name} f{int(fh):03d} t+{time_id}h")
@@ -594,23 +660,27 @@ class InterfacePhysics:
     # ---- evaluation ----
 
     def run_test_interface(self, checkpoint_path: Optional[str] = None,
-                           max_windows: Optional[int] = None, **kwargs):
+                           max_windows: Optional[int] = None,
+                           full_grid: bool = True, **kwargs):
         """Held-out RMSE evaluation of a checkpoint over test/valid data.
 
         The reference carries a test_cfg but implements no test runner; this
         completes the surface using the ERA5 RMSE harness (eval/rmse.py).
         Data comes from ``test_cfg.test_data`` when it carries a dataset
-        config, else ``train_cfg.valid_data``.
+        config, else ``train_cfg.valid_data``.  ``full_grid=True`` (default)
+        sweeps every labeled grid point at every labeled hour; False runs the
+        fast subsampled estimate.
         """
         from deepphysinet_tpu.data.dataset import PhysicsDataset
-        from deepphysinet_tpu.eval.rmse import evaluate_rmse
+        from deepphysinet_tpu.eval.rmse import evaluate_rmse, evaluate_rmse_fullgrid
 
         tc = self.train_cfg
         self.dx = float(tc["dx"])
         self.dy = float(tc["dy"])
         ckpt_path = checkpoint_path or self.test_cfg.get("checkpoints", {}).get(
             "checkpoints_path") or tc["checkpoints"]["checkpoints_path"]
-        state_dict, epoch, step = ckpt.load_model(ckpt_path, prefix="physics")
+        state_dict, epoch, step = ckpt.load_checkpoint(
+            ckpt_path, prefix="physics", backend=self.ckpt_backend)
         if state_dict is None:
             raise FileNotFoundError(ckpt_path)
         params = jax.tree.map(jnp.asarray, state_dict["model"])
@@ -625,8 +695,12 @@ class InterfacePhysics:
         )
         window_h = dataset.input_time_step * dataset.input_time_step_nums
         cfg = self._step_cfg(float(window_h * 3600), dataset.forecast_time_period)
-        metrics = evaluate_rmse(self.physics_net, params, cfg, dataset,
-                                max_windows=max_windows, **kwargs)
+        if full_grid:
+            metrics = evaluate_rmse_fullgrid(self.physics_net, params, cfg,
+                                             dataset, max_windows=max_windows)
+        else:
+            metrics = evaluate_rmse(self.physics_net, params, cfg, dataset,
+                                    max_windows=max_windows, **kwargs)
         metrics["epoch"] = float(epoch - 1)
         metrics["global_step"] = float(step)
         result_file = self.test_cfg.get("log", {}).get("result_file")

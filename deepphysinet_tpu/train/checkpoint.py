@@ -82,6 +82,50 @@ def gather_key_from_state(key: str, state_dict: dict, default):
     return default
 
 
+def save_checkpoint(
+    checkpoint_path: str,
+    epoch: int,
+    global_step: int,
+    params,
+    opt_state=None,
+    prefix: str = "physics",
+    backend: str = "pickle",
+    **metadata,
+) -> str:
+    """Backend-dispatched save: 'pickle' (default) or 'orbax'
+    (train_cfg.tpu.ckpt_backend)."""
+    if backend == "orbax":
+        return save_model_orbax(checkpoint_path, epoch, global_step, params,
+                                opt_state, prefix, **metadata)
+    if backend != "pickle":
+        raise ValueError(f"unknown ckpt_backend {backend!r} (pickle|orbax)")
+    return save_model(checkpoint_path, epoch, global_step, params, opt_state,
+                      prefix, **metadata)
+
+
+def load_checkpoint(
+    checkpoint_path: str,
+    current_epoch: Optional[int] = None,
+    prefix: str = "physics",
+    backend: str = "pickle",
+    target=None,
+):
+    """Backend-dispatched load; falls back to the other backend's layout so a
+    run can switch ckpt_backend mid-training and still resume."""
+    if backend == "orbax":
+        out = load_model_orbax(checkpoint_path, current_epoch, prefix, target)
+        if out[0] is not None:
+            return out
+        return load_model(checkpoint_path, current_epoch, prefix)
+    out = load_model(checkpoint_path, current_epoch, prefix)
+    if out[0] is None and os.path.isdir(checkpoint_path):
+        try:
+            return load_model_orbax(checkpoint_path, current_epoch, prefix, target)
+        except Exception:
+            pass
+    return out
+
+
 # ---- orbax backend (optional; for sharded/multi-host checkpoints) ----
 
 def save_model_orbax(

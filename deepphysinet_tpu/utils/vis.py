@@ -53,6 +53,7 @@ class VisUtils:
         project_dict: Optional[dict] = None,
         img_size: Optional[Tuple[int, int]] = None,
         cmap: str = "jet",
+        landsea_file: Optional[str] = None,
     ):
         self.cmap = cmap
         project_dict = dict(project_dict or {"name": "LatLon"})
@@ -62,6 +63,39 @@ class VisUtils:
             with open(coord_file, "rb") as fp:
                 lon, lat = pickle.load(fp)
             self.lon2d, self.lat2d = np.asarray(lon), np.asarray(lat)
+        # coastline source: the study area's land/sea constant raster (the
+        # same WPS-derived constant the dataset conditions on); its 0.5
+        # contour IS the coastline.  Replaces the reference's basemap
+        # ``drawcoastlines`` (downscale_utils.py:60-63) without needing GSHHS.
+        self.landsea = None
+        if landsea_file and os.path.exists(landsea_file):
+            from deepphysinet_tpu.data.geotiff import read_tiff
+
+            img, _ = read_tiff(landsea_file)
+            ls = img[:, :, 0].astype(np.float32)
+            if ls.max() > ls.min():  # flat raster -> nothing to contour
+                self.landsea = ls
+
+    def _draw_coastlines(self, ax, data_shape) -> None:
+        """Overlay the landsea 0.5-contour, mapped onto the render's axes.
+
+        The landsea raster lives on the coarse input grid; both grids span
+        the same bounding box, so linspace over the render's extent places
+        it exactly.
+        """
+        if self.landsea is None:
+            return
+        h, w = self.landsea.shape
+        if self.lon2d is not None and self.lon2d.shape == data_shape:
+            lons = np.linspace(self.lon2d.min(), self.lon2d.max(), w)
+            lats = np.linspace(self.lat2d.min(), self.lat2d.max(), h)
+            gx, gy = np.meshgrid(lons, lats)
+            x, y = self.projection.to_xy(gx, gy)
+        else:
+            x = np.linspace(0, data_shape[1] - 1, w)
+            y = np.linspace(0, data_shape[0] - 1, h)
+        ax.contour(x, y, self.landsea, levels=[0.5], colors="k",
+                   linewidths=0.8, alpha=0.9)
 
     def forward(self, data: np.ndarray, out_file: str, title: Optional[str] = None) -> None:
         import matplotlib
@@ -76,6 +110,7 @@ class VisUtils:
             im = ax.pcolormesh(x, y, data, cmap=self.cmap, shading="auto")
         else:
             im = ax.imshow(data, origin="lower", cmap=self.cmap, aspect="auto")
+        self._draw_coastlines(ax, data.shape)
         fig.colorbar(im, ax=ax, shrink=0.85)
         if title:
             ax.set_title(title)

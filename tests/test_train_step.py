@@ -149,3 +149,30 @@ def test_configured_pde_loss_is_used(setup):
         _, m = step(state, batch, with_pde=True)
         out[name] = float(m["inter_gas_loss"])
     assert out["MSELoss"] != out["L1Loss"]
+
+
+def test_forecast_h_snapping_dist_semantics(setup):
+    """forecast_h_snap floors the lead to the window grid before
+    normalization (reference dist path, interface_physics.py:996-997):
+    identical losses for leads inside one window, different across."""
+    import dataclasses
+
+    model, cfg, tx, make_state, batch = setup
+    snap_cfg = dataclasses.replace(cfg, forecast_h_snap=24.0)
+    state = make_state()
+    step = make_eval_step(model, snap_cfg)
+
+    def with_fh(fh):
+        return batch._replace(forecast_h=jnp.array([fh], jnp.float32))
+
+    m30 = step(state.params, with_fh(30.0), False)
+    m47 = step(state.params, with_fh(47.0), False)  # same 24h window
+    m48 = step(state.params, with_fh(48.0), False)  # next window
+    assert float(m30["margin_loss"]) == float(m47["margin_loss"])
+    assert float(m48["margin_loss"]) != float(m30["margin_loss"])
+
+    # unsnapped: every lead differs
+    step_raw = make_eval_step(model, cfg)
+    r30 = step_raw(state.params, with_fh(30.0), False)
+    r47 = step_raw(state.params, with_fh(47.0), False)
+    assert float(r30["margin_loss"]) != float(r47["margin_loss"])

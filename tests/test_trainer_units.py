@@ -105,3 +105,23 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     # missing -> graceful
     state, ne, gs = ckpt.load_model_orbax(str(tmp_path / "nope"))
     assert state is None
+
+
+def test_checkpoint_backend_dispatch_and_fallback(tmp_path):
+    """save/load_checkpoint dispatch on backend and fall back across layouts."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    params = {"w": np.arange(6.0).reshape(2, 3)}
+    # pickle save, orbax-requested load falls back to the pickle layout
+    p1 = str(tmp_path / "p")
+    ckpt.save_checkpoint(p1, epoch=1, global_step=10, params=params, backend="pickle")
+    state, ne, gs = ckpt.load_checkpoint(p1, backend="orbax")
+    assert gs == 10 and np.allclose(state["model"]["w"], params["w"])
+    # orbax save, pickle-requested load falls back to the orbax layout
+    p2 = str(tmp_path / "o")
+    ckpt.save_checkpoint(p2, epoch=2, global_step=20, params=params, backend="orbax")
+    state, ne, gs = ckpt.load_checkpoint(p2, backend="pickle")
+    assert gs == 20 and np.allclose(state["model"]["w"], params["w"])
+    with pytest.raises(ValueError):
+        ckpt.save_checkpoint(p2, epoch=2, global_step=20, params=params, backend="zip")

@@ -31,3 +31,30 @@ def test_mercator_projection_monotone():
     x1, y1 = proj.to_xy(np.array([100.0]), np.array([20.0]))
     x2, y2 = proj.to_xy(np.array([120.0]), np.array([40.0]))
     assert x2 > x1 and y2 > y1
+
+
+def test_coastline_overlay_from_landsea(tmp_path, rng):
+    """A landsea raster adds its 0.5-contour to the render (reference
+    drawcoastlines parity, downscale_utils.py:60-63)."""
+    from deepphysinet_tpu.data.geotiff import write_tiff
+    from deepphysinet_tpu.utils.vis import VisUtils
+
+    # coarse land/sea mask: land in the lower-left quadrant
+    ls = np.zeros((10, 17), np.float32)
+    ls[:5, :8] = 1.0
+    ls_file = str(tmp_path / "landsea.tiff")
+    write_tiff(ls_file, ls)
+
+    data = rng.randn(37, 65).astype(np.float32)
+    plain, coast = str(tmp_path / "plain.jpg"), str(tmp_path / "coast.jpg")
+    VisUtils(coord_file=None).forward(data, plain)
+    VisUtils(coord_file=None, landsea_file=ls_file).forward(data, coast)
+    assert os.path.exists(coast)
+    with open(plain, "rb") as a, open(coast, "rb") as b:
+        assert a.read() != b.read()  # the contour changed the render
+
+    # a flat raster (all sea) must not break rendering
+    flat_file = str(tmp_path / "flat.tiff")
+    write_tiff(flat_file, np.zeros((10, 17), np.float32))
+    VisUtils(coord_file=None, landsea_file=flat_file).forward(
+        data, str(tmp_path / "flat.jpg"))

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--split", type=str, default="valid_data",
                         choices=["train_data", "valid_data"])
     parser.add_argument("--points_per_window", type=int, default=20480)
+    parser.add_argument("--full_grid", action="store_true",
+                        help="exhaustive sweep: every labeled grid point at "
+                             "every labeled hour (headline RMSE mode)")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -36,7 +39,7 @@ def main():
 
     from deepphysinet_tpu.config import Config
     from deepphysinet_tpu.data.dataset import PhysicsDataset
-    from deepphysinet_tpu.eval.rmse import evaluate_rmse
+    from deepphysinet_tpu.eval.rmse import evaluate_rmse, evaluate_rmse_fullgrid
     from deepphysinet_tpu.interface.build import builder_models
     from deepphysinet_tpu.train import checkpoint as ckpt
 
@@ -47,7 +50,8 @@ def main():
     interface.dy = float(tc["dy"])
 
     ckpt_path = args.checkpoint or tc["checkpoints"]["checkpoints_path"]
-    state_dict, epoch, step = ckpt.load_model(ckpt_path, prefix="physics")
+    state_dict, epoch, step = ckpt.load_checkpoint(
+        ckpt_path, prefix="physics", backend=interface.ckpt_backend)
     if state_dict is None:
         raise SystemExit(f"no checkpoint at {ckpt_path}")
     params = jax.tree.map(jnp.asarray, state_dict["model"])
@@ -59,10 +63,16 @@ def main():
     window_h = dataset.input_time_step * dataset.input_time_step_nums
     step_cfg = interface._step_cfg(float(window_h * 3600), dataset.forecast_time_period)
 
-    metrics = evaluate_rmse(
-        interface.physics_net, params, step_cfg, dataset,
-        max_windows=args.max_windows, points_per_window=args.points_per_window,
-    )
+    if args.full_grid:
+        metrics = evaluate_rmse_fullgrid(
+            interface.physics_net, params, step_cfg, dataset,
+            max_windows=args.max_windows,
+        )
+    else:
+        metrics = evaluate_rmse(
+            interface.physics_net, params, step_cfg, dataset,
+            max_windows=args.max_windows, points_per_window=args.points_per_window,
+        )
     metrics["epoch"] = epoch - 1
     metrics["global_step"] = step
     print(json.dumps({k: round(v, 6) if isinstance(v, float) else v
