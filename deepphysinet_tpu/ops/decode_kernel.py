@@ -707,6 +707,220 @@ def _fused_trainable_v4_bwd(block_n, compute_dtype, res, g):
 fused_decode_jvp_trainable_v4.defvjp(_fused_trainable_v4_fwd, _fused_trainable_v4_bwd)
 
 
+def _decode_bwd_kernel_v4(
+    pe_ref, dpe_ref, cdpe_ref, go_ref, gto_ref,
+    w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref,
+    gw1_ref, gw1c_ref, gb1_ref, gw2f1_ref, gwdf1_ref, grbias_ref,
+    gfw2_ref, gw2wo_ref, gwdwo_ref,
+    *, block_n: int, n_vars: int, cdt,
+):
+    """Backward of the collapsed v4 decode wrt the fused weights.
+
+    Recomputes the forward chain block-wise in VMEM (cheaper than saving
+    [N, hid] residuals to HBM: the whole point of the fused path is avoiding
+    that traffic) and accumulates every weight gradient across the grid into
+    VMEM-resident output blocks (all grid steps map to output block 0; the
+    buffers are initialized at step 0 and written back once at the end).
+    """
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    P_in = pe_ref[...]  # [Nb, in_ch] cdt
+    T_in = dpe_ref[...]  # [3, Nb, ch] cdt
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (gw1_ref, gw1c_ref, gb1_ref, gw2f1_ref, gwdf1_ref,
+                    grbias_ref, gfw2_ref, gw2wo_ref, gwdwo_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def dot_t(a, b):  # a^T @ b, contracting the row (point) axis
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def dot_wt(g, w):  # g @ w^T
+        return jax.lax.dot_general(
+            g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    for v in range(n_vars):
+        # ---- recompute the forward chain ----
+        z = dot(P_in, w1_ref[v]) + b1_ref[v][None, :]
+        mask = z > 0
+        p = jnp.maximum(z, 0.0)
+        mask3 = jnp.concatenate([mask, mask, mask], axis=0)
+        tz = jnp.concatenate(
+            [dot(T_in[k], w1c_ref[v, k]) for k in range(3)], axis=0)
+        t = jnp.where(mask3, tz, 0.0)  # [3Nb, hid]
+        W = w2f1_ref[v]
+        rp = dot(p, W) + dot(CD, wdf1_ref[v]) + rbias_ref[v][None, :]
+        maskr = rp > 0
+        pr = jnp.maximum(rp, 0.0)
+        maskr3 = jnp.concatenate([maskr, maskr, maskr], axis=0)
+        tr = jnp.where(maskr3, dot(t, W), 0.0)
+
+        # ---- backward ----
+        go = go_ref[:, v : v + 1]  # [Nb, 1] f32
+        gto = gto_ref[..., v].reshape(3 * block_n, 1)  # [3Nb, 1]
+        a_v = fw2_ref[v][None, :]  # [1, hid]
+        b_v = w2wo_ref[v][None, :]
+
+        g_rp = jnp.where(maskr, go * a_v, 0.0)  # [Nb, hid]
+        g_rt = jnp.where(maskr3, gto * a_v, 0.0)  # [3Nb, hid]
+
+        gfw2_ref[v] += jnp.sum(pr * go, axis=0) + jnp.sum(tr * gto, axis=0)
+        gw2wo_ref[v] += 2.0 * (jnp.sum(p * go, axis=0) + jnp.sum(t * gto, axis=0))
+        gwdwo_ref[v] += 2.0 * jnp.sum(CD.astype(f32) * go, axis=0)
+        # g_obias = sum(go) is a scalar per variable: Mosaic cannot store
+        # scalars to VMEM, and it's free in XLA (g_primal.sum(0)) -- computed
+        # by the caller instead
+        grbias_ref[v] += jnp.sum(g_rp, axis=0)
+
+        gw2f1_ref[v] += dot_t(p, g_rp) + dot_t(t, g_rt)
+        gwdf1_ref[v] += dot_t(CD, g_rp)
+
+        g_p = dot_wt(g_rp, W) + 2.0 * (go * b_v)
+        g_t = dot_wt(g_rt, W) + 2.0 * (gto * b_v)
+        g_z = jnp.where(mask, g_p, 0.0)
+        g_tz = jnp.where(mask3, g_t, 0.0)
+
+        gw1_ref[v] += dot_t(P_in.astype(f32), g_z)
+        gb1_ref[v] += jnp.sum(g_z, axis=0)
+        for k in range(3):
+            gw1c_ref[v, k] += dot_t(
+                T_in[k].astype(f32), g_tz[k * block_n : (k + 1) * block_n])
+
+
+def decode_bwd_kernel_v4(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,
+    dpe: jnp.ndarray,
+    cd_pe: jnp.ndarray,
+    g_primal: jnp.ndarray,  # [N, 6] f32
+    g_tang: jnp.ndarray,  # [3, N, 6] f32
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
+) -> FusedDecodeWeights:
+    """Weight cotangents of fused_decode_jvp_v4 (obias slot carries g_obias)."""
+    n, in_ch = pe.shape
+    ch = dpe.shape[-1]
+    n_vars = fw.w1.shape[0]
+    hid = fw.w1.shape[-1]
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+        dpe = jnp.pad(dpe, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        # zero cotangents on padded points -> no gradient contribution
+        g_primal = jnp.pad(g_primal, ((0, pad), (0, 0)))
+        g_tang = jnp.pad(g_tang, ((0, 0), (0, pad), (0, 0)))
+    n_pad = pe.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1.astype(cd), fw.w1c.astype(cd), fw.b1.astype(f32),
+          fw.w2f1.astype(cd), fw.wdf1.astype(cd), fw.rbias.astype(f32),
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    acc = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=mem)
+    kernel = functools.partial(_decode_bwd_kernel_v4, block_n=block_n,
+                               n_vars=n_vars, cdt=cd)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars, in_ch, hid), f32),  # g_w1
+            jax.ShapeDtypeStruct((n_vars, 3, ch, hid), f32),  # g_w1c
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_b1
+            jax.ShapeDtypeStruct((n_vars, hid, hid), f32),  # g_w2f1
+            jax.ShapeDtypeStruct((n_vars, in_ch, hid), f32),  # g_wdf1
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_rbias
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_fw2
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_w2wo
+            jax.ShapeDtypeStruct((n_vars, in_ch), f32),  # g_wdwo
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, ch), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            acc(n_vars, in_ch, hid), acc(n_vars, 3, ch, hid), acc(n_vars, hid),
+            acc(n_vars, hid, hid), acc(n_vars, in_ch, hid), acc(n_vars, hid),
+            acc(n_vars, hid), acc(n_vars, hid), acc(n_vars, in_ch),
+        ),
+        interpret=interpret,
+    )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd),
+      g_primal.astype(f32), g_tang.astype(f32), *wt)
+    return FusedDecodeWeights(
+        w1=outs[0], w1c=outs[1], b1=outs[2], w2f1=outs[3], wdf1=outs[4],
+        rbias=outs[5], fw2=outs[6], w2wo=outs[7], wdwo=outs[8],
+        obias=jnp.sum(g_primal[:n], axis=0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_decode_jvp_v4_kbwd(fw, pe, dpe, cd_pe, ref,
+                             block_n=256, compute_dtype=jnp.bfloat16):
+    """v4 decode with Pallas kernels on BOTH passes (training hot path).
+
+    Gradient contract: exact cotangents for the fused weights and ``ref``
+    (d o/d ref = identity); **zeros for pe/dpe/cd_pe** -- in the training
+    engine those are data (coordinates / stop-gradient'd conditioning), so
+    computing their [N, in_ch] cotangents would be pure waste.  Use
+    ``fused_decode_jvp_trainable_v4`` if input gradients are ever needed.
+    """
+    if _HAS_PLTPU and jax.default_backend() == "tpu":
+        return fused_decode_jvp_v4(fw, pe, dpe, cd_pe, ref,
+                                   block_n=block_n, compute_dtype=compute_dtype)
+    return decode_jvp_xla_v4(fw, pe, dpe, cd_pe, ref, compute_dtype)
+
+
+def _fused_v4_kbwd_fwd(fw, pe, dpe, cd_pe, ref, block_n, compute_dtype):
+    out = fused_decode_jvp_v4_kbwd(fw, pe, dpe, cd_pe, ref, block_n, compute_dtype)
+    return out, (fw, pe, dpe, cd_pe)
+
+
+def _fused_v4_kbwd_bwd(block_n, compute_dtype, res, g):
+    fw, pe, dpe, cd_pe = res
+    g_primal, g_tang = g
+    if _HAS_PLTPU and jax.default_backend() == "tpu":
+        gfw = decode_bwd_kernel_v4(fw, pe, dpe, cd_pe, g_primal, g_tang,
+                                   block_n=block_n, compute_dtype=compute_dtype)
+    else:
+        # CPU fallback: the twin's VJP, projected onto the weight cotangents
+        zeros_ref = jnp.zeros_like(g_primal)
+        _, vjp = jax.vjp(
+            lambda w: decode_jvp_xla_v4(w, pe, dpe, cd_pe, zeros_ref,
+                                        compute_dtype), fw)
+        (gfw,) = vjp((g_primal, g_tang))
+    g_ref = g_primal  # o = ... + ref (identity head)
+    return (gfw, jnp.zeros_like(pe), jnp.zeros_like(dpe),
+            jnp.zeros_like(cd_pe), g_ref)
+
+
+fused_decode_jvp_v4_kbwd.defvjp(_fused_v4_kbwd_fwd, _fused_v4_kbwd_bwd)
+
+
 def decode_jvp_xla(
     weights: DecodeWeights,
     pe: jnp.ndarray,

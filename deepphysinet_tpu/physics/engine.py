@@ -180,15 +180,17 @@ def fused_kernel_fields(
     """
     from deepphysinet_tpu.ops.decode_kernel import (
         fuse_decode_weights, fused_decode_jvp, fused_decode_jvp_trainable,
-        fused_decode_jvp_trainable_v4, fused_decode_jvp_v4)
+        fused_decode_jvp_v4, fused_decode_jvp_v4_kbwd)
 
     weights, pe, dpe, cd_pe = _kernel_inputs(
         model, params, tokens, coords, coord_data, fore_h, coord_spec)
     coord_data = jax.lax.stop_gradient(coord_data)
+    # pe/dpe/cd_pe are functions of data only (coords + stop-gradient'd
+    # conditioning), so the kbwd op's zero input-cotangent contract holds
     if version == 4:
         fw = fuse_decode_weights(weights)
         if trainable:
-            primal, tang = fused_decode_jvp_trainable_v4(
+            primal, tang = fused_decode_jvp_v4_kbwd(
                 fw, pe, dpe, cd_pe, coord_data, 256, model.compute_dtype)
         else:
             primal, tang = fused_decode_jvp_v4(fw, pe, dpe, cd_pe, coord_data,

@@ -254,3 +254,74 @@ def test_jvp_engine_gradients_match_linearize(setup, rng):
     ratio = float(jnp.linalg.norm(flat_got) / (jnp.linalg.norm(flat_ref) + 1e-30))
     assert cos > 0.999, cos
     assert 0.99 < ratio < 1.01, ratio
+
+
+def test_bwd_kernel_v4_matches_twin_vjp(setup, rng):
+    """decode_bwd_kernel_v4 (interpret, f32) == jax.vjp of the XLA twin for
+    every fused-weight cotangent."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_bwd_kernel_v4, decode_jvp_xla_v4, fuse_decode_weights)
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+    model, params, tokens = setup
+    n = 64
+    coords, coord_data = _rand_points(rng, n)
+    fore_h = jnp.array([0.1], jnp.float32)
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    fw = fuse_decode_weights(weights)
+    pe, dpe = pe_and_tangents(coords, COORD)
+    cd_pe = sinecos_pe(coord_data, make_freq_bands(16, 4.0), include_input=False)
+
+    g_primal = jnp.asarray(rng.randn(n, 6), jnp.float32)
+    g_tang = jnp.asarray(rng.randn(3, n, 6), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda w: decode_jvp_xla_v4(w, pe, dpe, cd_pe, coord_data, jnp.float32),
+        fw)
+    (g_ref,) = vjp((g_primal, g_tang))
+
+    g_got = decode_bwd_kernel_v4(fw, pe, dpe, cd_pe, g_primal, g_tang,
+                                 block_n=32, interpret=True,
+                                 compute_dtype=jnp.float32)
+    for name in g_ref._fields:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_got, name))
+        np.testing.assert_allclose(
+            b, a, rtol=2e-3, atol=1e-4 * max(1.0, np.abs(a).max()),
+            err_msg=name)
+
+
+def test_kbwd_op_end_to_end_gradients(setup, rng):
+    """fused_decode_jvp_v4_kbwd inside a differentiated loss produces the
+    same weight gradients as the plain twin path (CPU fallback route)."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_jvp_xla_v4, fuse_decode_weights, fused_decode_jvp_v4_kbwd)
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+    model, params, tokens = setup
+    n = 32
+    coords, coord_data = _rand_points(rng, n)
+    fore_h = jnp.array([0.1], jnp.float32)
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    fw = fuse_decode_weights(weights)
+    pe, dpe = pe_and_tangents(coords, COORD)
+    cd_pe = sinecos_pe(coord_data, make_freq_bands(16, 4.0), include_input=False)
+    tgt_p = jnp.asarray(rng.randn(n, 6), jnp.float32)
+    tgt_t = jnp.asarray(rng.randn(3, n, 6), jnp.float32)
+
+    def loss_kbwd(w):
+        p, t = fused_decode_jvp_v4_kbwd(w, pe, dpe, cd_pe, coord_data,
+                                        32, jnp.float32)
+        return jnp.mean((p - tgt_p) ** 2) + jnp.mean((t - tgt_t) ** 2)
+
+    def loss_twin(w):
+        p, t = decode_jvp_xla_v4(w, pe, dpe, cd_pe, coord_data, jnp.float32)
+        return jnp.mean((p - tgt_p) ** 2) + jnp.mean((t - tgt_t) ** 2)
+
+    la, ga = jax.value_and_grad(loss_kbwd)(fw)
+    lb, gb = jax.value_and_grad(loss_twin)(fw)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for name in ga._fields:
+        np.testing.assert_allclose(np.asarray(getattr(ga, name)),
+                                   np.asarray(getattr(gb, name)),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
