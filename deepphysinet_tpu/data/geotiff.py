@@ -202,8 +202,14 @@ def _decompress(seg: bytes, comp: int, expected: Optional[int] = None) -> bytes:
     if comp == _COMP_NONE:
         return seg
     if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
-        return zlib.decompress(seg)
+        return zlib.decompress(seg)  # zlib = C already
     if comp == _COMP_LZW:
+        if expected:  # C++ kernel (native/src/dpn_native.cc::dpn_lzw_decode)
+            from deepphysinet_tpu import native
+
+            out = native.lzw_decode(seg, expected)
+            if out is not None:
+                return out
         return _lzw_decode(seg)
     if comp == _COMP_PACKBITS:
         return _packbits_decode(seg)
@@ -289,8 +295,8 @@ def _read_ifd_entries(buf: bytes, offset: int, bo: str):
 def _segment_to_values(seg: bytes, comp: int, predictor: int, n_rows: int,
                        seg_w: int, n_ch: int, dtype: np.dtype) -> np.ndarray:
     """Decode one strip/tile to [n_rows, seg_w, n_ch] native-order values."""
-    raw = _decompress(seg, comp)
     needed = n_rows * seg_w * n_ch * dtype.itemsize
+    raw = _decompress(seg, comp, expected=needed)
     if len(raw) < needed:  # tolerate writers that truncate the last segment
         raw = raw + b"\0" * (needed - len(raw))
     if predictor == 3:

@@ -67,6 +67,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dpn_normalize.argtypes = [f32p, i64, i64, f32p, f32p]
         lib.dpn_pack_tokens.argtypes = [f32p, i64, i64, i64, f32p, f32p, f32p]
         lib.dpn_num_threads.restype = ctypes.c_int
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.dpn_lzw_decode.argtypes = [u8p, i64, u8p, i64]
+        lib.dpn_lzw_decode.restype = i64
         _LIB = lib
         return _LIB
 
@@ -135,3 +138,23 @@ def pack_tokens(raster: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.nda
     out = np.empty((c, h * w), np.float32)
     lib.dpn_pack_tokens(_fp32(raster), h, w, c, _fp32(mean), _fp32(std), _fp32(out))
     return out
+
+
+def lzw_decode(data: bytes, expected_size: int) -> Optional[bytes]:
+    """TIFF LZW decode via the C++ kernel; None -> caller uses the Python path.
+
+    ``expected_size`` bounds the output buffer (segment byte size is known
+    from the TIFF tags); decodes shorter than the bound are valid (writers
+    may truncate the final segment).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dpn_lzw_decode"):
+        return None
+    inp = np.frombuffer(data, np.uint8)
+    out = np.empty(int(expected_size), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.dpn_lzw_decode(inp.ctypes.data_as(u8p), len(inp),
+                           out.ctypes.data_as(u8p), len(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -12,6 +12,9 @@
 //   dpn_normalize   - fused (x - mean) / std over a [C, M] block
 //   dpn_pack_tokens - transpose+normalize a [H, W, C] raster into [C, H*W]
 //                     token rows (the get_item_input inner loop)
+//   dpn_lzw_decode  - TIFF LZW segment decode (the GDAL-replacement codec's
+//                     one hot pure-Python path; DEFLATE already rides zlib's
+//                     C implementation)
 //
 // Exposed with a plain C ABI for ctypes (deepphysinet_tpu/native).
 
@@ -112,6 +115,90 @@ int dpn_num_threads(void) {
 #else
   return 1;
 #endif
+}
+
+// TIFF-flavoured LZW decode (MSB-first bit order, early code-size change),
+// matching data/geotiff.py::_lzw_decode (which stays as the pure-Python
+// fallback).  Returns bytes written, or -1 if `out` is too small / stream is
+// corrupt.  Table entries are (prefix link, suffix byte) pairs; strings are
+// emitted by walking the chain backwards.
+int64_t dpn_lzw_decode(const uint8_t* data, int64_t n_in,
+                       uint8_t* out, int64_t n_out) {
+  const int CLEAR = 256, EOI = 257;
+  static thread_local int32_t prefix[4096];
+  static thread_local uint8_t suffix[4096];
+  static thread_local uint8_t first[4096];
+  static thread_local uint8_t stack[4096];
+
+  int next_code = 258, code_size = 9;
+  int64_t bitpos = 0, nbits = n_in * 8, written = 0;
+  int prev = -1;
+
+  auto read_code = [&]() -> int {
+    if (bitpos + code_size > nbits) return EOI;
+    int64_t byte_pos = bitpos >> 3;
+    uint32_t chunk = 0;
+    for (int i = 0; i < 4; ++i) {
+      chunk <<= 8;
+      if (byte_pos + i < n_in) chunk |= data[byte_pos + i];
+    }
+    int code = (chunk >> (32 - (bitpos & 7) - code_size)) &
+               ((1u << code_size) - 1);
+    bitpos += code_size;
+    return code;
+  };
+
+  for (int i = 0; i < 256; ++i) { prefix[i] = -1; suffix[i] = (uint8_t)i; first[i] = (uint8_t)i; }
+
+  auto emit = [&](int code) -> int {  // returns first byte of the string
+    int sp = 0;
+    int c = code;
+    while (c >= 0) {
+      if (sp >= 4096) return -1;
+      stack[sp++] = suffix[c];
+      c = prefix[c];
+    }
+    if (written + sp > n_out) return -1;
+    for (int i = sp - 1; i >= 0; --i) out[written++] = stack[i];
+    return stack[sp - 1];
+  };
+
+  while (true) {
+    int code = read_code();
+    if (code == EOI) break;
+    if (code == CLEAR) {
+      next_code = 258; code_size = 9; prev = -1;
+      continue;
+    }
+    if (prev < 0) {
+      if (code >= 256) return -1;
+      if (emit(code) < 0) return -1;
+      prev = code;
+      continue;
+    }
+    int fb;
+    if (code < next_code) {
+      fb = emit(code);
+      if (fb < 0) return -1;
+      if (next_code < 4096) {
+        prefix[next_code] = prev; suffix[next_code] = (uint8_t)fb;
+        first[next_code] = first[prev];
+        ++next_code;
+      }
+    } else if (code == next_code) {
+      // KwKwK case: new string = string(prev) + first(prev)
+      if (next_code >= 4096) return -1;
+      prefix[next_code] = prev; suffix[next_code] = first[prev];
+      first[next_code] = first[prev];
+      ++next_code;
+      if (emit(code) < 0) return -1;
+    } else {
+      return -1;  // corrupt stream
+    }
+    if (next_code == (1 << code_size) - 1 && code_size < 12) ++code_size;
+    prev = code;
+  }
+  return written;
 }
 
 }  // extern "C"

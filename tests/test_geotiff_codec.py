@@ -148,3 +148,22 @@ def test_reference_format_ingest_path(tmp_path, rng):
     win = read_image(p, 10, 20, 64, 32, as_rgb=False, normalize=False,
                      data_format="NUMPY_FORMAT")
     np.testing.assert_array_equal(win, img[20:52, 10:74])
+
+
+def test_native_lzw_decoder_matches_python(rng):
+    """C++ dpn_lzw_decode == the pure-Python reference decoder."""
+    from deepphysinet_tpu import native
+
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    for blob in (
+        b"TOBEORNOTTOBEORTOBEORNOT" * 80,
+        bytes(range(256)) * 20,  # forces 9->10->11 bit widths
+        (rng.rand(40000) * 255).astype(np.uint8).tobytes(),  # incompressible
+        b"\x00" * 5000,
+    ):
+        enc = _lzw_encode(blob)
+        got = native.lzw_decode(enc, len(blob))
+        assert got == blob == _lzw_decode(enc)
+    # corrupt stream -> graceful None (python raises; caller falls back)
+    assert native.lzw_decode(b"\xff\xff\xff\xff\xff\xff", 64) is None
