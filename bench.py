@@ -61,6 +61,8 @@ def main() -> None:
                              dy=27000.0, pred_t_span=86400.0),
         obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
         loss_factor=dict(cfg["train_cfg"]["losses"]["loss_factor"]),
+        # production default: fused Pallas fwd+bwd on TPU (docs/PERF.md)
+        pde_engine="kernel" if jax.default_backend() == "tpu" else "jvp",
     )
     tx = build_optimizer("Adam", lr=1e-4, weight_decay=1e-4)
 

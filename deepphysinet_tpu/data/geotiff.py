@@ -70,8 +70,26 @@ _GT_RASTER_TYPE = 1025  # 1 = PixelIsArea
 _GEOGRAPHIC_TYPE = 2048  # geographic EPSG code
 _PROJECTED_CS_TYPE = 3072  # projected EPSG code
 
-# EPSG geographic codes live in 4000..4999; everything else is projected.
-_GEOGRAPHIC_EPSG = range(4000, 5000)
+# Geographic-vs-projected classification for the GeoKey directory.  There is
+# no closed form over EPSG codes; 4000..4999 is overwhelmingly geographic
+# (with a couple of projected exceptions) and a handful of common modern
+# geographic CRS live outside it.  Codes not covered default to projected --
+# extend _GEOGRAPHIC_EXTRA if a dataset needs another geographic CRS.
+_PROJECTED_IN_4XXX = {4087, 4088}  # World Equidistant Cylindrical (+sphere)
+_GEOGRAPHIC_EXTRA = {
+    6318, 6319,  # NAD83(2011) 2D/3D
+    7843, 7844,  # GDA2020 3D/2D
+    8999,  # ITRF2008
+    9000,  # ITRF2014
+    9057,  # ITRF2020... (9057 = ISN2016)
+    9989,  # ITRF2020
+}
+
+
+def _is_geographic_epsg(code: int) -> bool:
+    if code in _GEOGRAPHIC_EXTRA:
+        return True
+    return 4000 <= code < 5000 and code not in _PROJECTED_IN_4XXX
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -151,6 +169,13 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], code_size)
+    # The decoder adds a table entry after EVERY data code, so after the
+    # final code its table is one entry ahead of ours and may have crossed
+    # the early-change boundary -- EOI must be written at the width the
+    # decoder will read it with (found by fuzzing: EOI at a stale width
+    # misparses as a data code past the table).
+    if next_code == (1 << code_size) - 1 and code_size < 12:
+        code_size += 1
     emit(EOI, code_size)
     if nacc:
         out.append((acc << (8 - nacc)) & 0xFF)
@@ -311,7 +336,8 @@ def _segment_to_values(seg: bytes, comp: int, predictor: int, n_rows: int,
     return vals.astype(dtype.newbyteorder("="))
 
 
-def _read_tiff_impl(path: str):
+def _parse_tiff_tags(path: str):
+    """(buf, byteorder, first-IFD tag dict) without decoding pixel data."""
     with open(path, "rb") as fp:
         buf = fp.read()
     if buf[:2] == b"II":
@@ -324,6 +350,36 @@ def _read_tiff_impl(path: str):
     if magic != 42:
         raise ValueError(f"{path}: bad TIFF magic {magic}")
     tags, _ = _read_ifd_entries(buf, first_ifd, bo)
+    return buf, bo, tags
+
+
+def _meta_from_tags(tags):
+    """(geo_transform or None, 'EPSG:n' or None) from a parsed tag dict."""
+    geo = None
+    if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
+        sx, sy = tags[_MODEL_PIXEL_SCALE][0], tags[_MODEL_PIXEL_SCALE][1]
+        tie = tags[_MODEL_TIEPOINT]
+        # tiepoint: (i, j, k, x, y, z) for raster (i, j)
+        x0 = tie[3] - tie[0] * sx
+        y0 = tie[4] + tie[1] * sy
+        geo = (x0, sx, 0.0, y0, 0.0, -sy)
+
+    projection = None
+    if _GEO_KEY_DIRECTORY in tags:
+        kd = tags[_GEO_KEY_DIRECTORY]
+        keys = {}
+        for i in range(4, len(kd), 4):
+            key_id, loc, count, value = kd[i : i + 4]
+            if loc == 0:
+                keys[key_id] = value
+        code = keys.get(_PROJECTED_CS_TYPE) or keys.get(_GEOGRAPHIC_TYPE)
+        if code:
+            projection = f"EPSG:{code}"
+    return geo, projection
+
+
+def _read_tiff_impl(path: str):
+    buf, bo, tags = _parse_tiff_tags(path)
 
     width = tags[_IMAGE_WIDTH][0]
     height = tags[_IMAGE_LENGTH][0]
@@ -370,26 +426,7 @@ def _read_tiff_impl(path: str):
             else:
                 img[y0 : y0 + n_rows, :, :] = vals
 
-    geo = None
-    if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
-        sx, sy = tags[_MODEL_PIXEL_SCALE][0], tags[_MODEL_PIXEL_SCALE][1]
-        tie = tags[_MODEL_TIEPOINT]
-        # tiepoint: (i, j, k, x, y, z) for raster (i, j)
-        x0 = tie[3] - tie[0] * sx
-        y0 = tie[4] + tie[1] * sy
-        geo = (x0, sx, 0.0, y0, 0.0, -sy)
-
-    projection = None
-    if _GEO_KEY_DIRECTORY in tags:
-        kd = tags[_GEO_KEY_DIRECTORY]
-        keys = {}
-        for i in range(4, len(kd), 4):
-            key_id, loc, count, value = kd[i : i + 4]
-            if loc == 0:
-                keys[key_id] = value
-        code = keys.get(_PROJECTED_CS_TYPE) or keys.get(_GEOGRAPHIC_TYPE)
-        if code:
-            projection = f"EPSG:{code}"
+    geo, projection = _meta_from_tags(tags)
     return np.ascontiguousarray(img), geo, projection
 
 
@@ -554,7 +591,7 @@ def write_tiff(
         tags.append((_MODEL_TIEPOINT, 12, 6, tie))
     epsg = _epsg_from_projection(projection)
     if epsg is not None:
-        geographic = epsg in _GEOGRAPHIC_EPSG
+        geographic = _is_geographic_epsg(epsg)
         keys = [
             (_GT_MODEL_TYPE, 0, 1, 2 if geographic else 1),
             (_GT_RASTER_TYPE, 0, 1, 1),  # PixelIsArea (GDAL default)
@@ -664,14 +701,17 @@ def save_full_image(
 
 
 def get_projection(img_file: str) -> Optional[str]:
-    """CRS of a raster as 'EPSG:n' (or None), from the GeoKey directory."""
-    _, _, proj = _read_tiff_impl(img_file)
-    return proj
+    """CRS of a raster as 'EPSG:n' (or None), from the GeoKey directory.
+
+    Tag-parse only -- no pixel decode."""
+    _, _, tags = _parse_tiff_tags(img_file)
+    return _meta_from_tags(tags)[1]
 
 
 def get_geo_transform(img_file: str):
-    _, geo = read_tiff(img_file)
-    return geo
+    """Affine geo-transform; tag-parse only, no pixel decode."""
+    _, _, tags = _parse_tiff_tags(img_file)
+    return _meta_from_tags(tags)[0]
 
 
 # gdal_utils naming parity (utils/gdal_utils.py:229)
@@ -680,9 +720,12 @@ def get_geoTransform(img_file: str):  # noqa: N802
 
 
 def get_image_shape(img_file: str) -> Tuple[int, int, int]:
-    """(height, width, bands), matching gdal_utils.get_image_shape usage."""
-    img, _ = read_tiff(img_file)
-    return img.shape[0], img.shape[1], img.shape[2]
+    """(height, width, bands), matching gdal_utils.get_image_shape usage.
+
+    Tag-parse only -- no pixel decode."""
+    _, _, tags = _parse_tiff_tags(img_file)
+    return (tags[_IMAGE_LENGTH][0], tags[_IMAGE_WIDTH][0],
+            tags.get(_SAMPLES_PER_PIXEL, [1])[0])
 
 
 def read_image(

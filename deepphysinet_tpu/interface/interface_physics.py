@@ -109,12 +109,14 @@ class InterfacePhysics:
         self.pde_start_step = int(tpu_cfg.get("pde_start_step", 2000))
         self.sample_mode = str(tpu_cfg.get("sample_mode", "host"))
         self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
-        # 'jvp' (analytic-tangent collapsed-algebra path) is the default: it
-        # beats linearize at reference geometry (8.93 vs 9.24 ms, docs/PERF.md)
-        # and shares the margin decode with the data loss.  It requires
-        # mean_norm observation normalization; fall back to linearize if any
-        # variable uses another scheme.
-        default_engine = "jvp"
+        # Engine default (docs/PERF.md, reference geometry): 'kernel' (fused
+        # Pallas forward+backward, 7.08 ms/step, 10K-soak convergence
+        # validated) on TPU; 'jvp' (analytic-tangent collapsed-algebra XLA
+        # path, 8.93 ms) elsewhere -- the kernel op falls back to the same
+        # math off-TPU anyway.  Both require mean_norm observation
+        # normalization; fall back to 'linearize' if any variable uses
+        # another scheme.
+        default_engine = "kernel" if jax.default_backend() == "tpu" else "jvp"
         for v in self.obs_norm_cfg.values():
             if v.get("use_norm", True) and str(
                 v.get("norm_type", "mean_norm")).lower() != "mean_norm":

@@ -707,6 +707,138 @@ def _fused_trainable_v4_bwd(block_n, compute_dtype, res, g):
 fused_decode_jvp_trainable_v4.defvjp(_fused_trainable_v4_fwd, _fused_trainable_v4_bwd)
 
 
+def _decode_kernel_v5(
+    pe_ref, dpe_ref, cdpe_ref, ref_ref,
+    w1s_ref, w1cs_ref, b1s_ref, w2f1_ref, wdf1s_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, hid: int, cdt,
+):
+    """v5: v4 algebra with the per-variable layer-1 / conditioning matmuls
+    column-stacked into single wide ops.
+
+    The v4 kernel issues ~42 tiny dots per block (each ~0.13 us of MXU work),
+    so op dispatch dominates.  Stacking all 6 variables' L1, tangent-L1 and
+    wd@f1 matmuls into [Nb, in] x [in, 6*hid] ops cuts that stage's op count
+    6x; the trunk (block-diagonal in stacked space) stays per-variable on
+    lane-aligned slices.
+    """
+    f32 = jnp.float32
+    P_in = pe_ref[...]
+    T_in = dpe_ref[...]
+    CD = cdpe_ref[...]
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    z_all = dot(P_in, w1s_ref[...]) + b1s_ref[...]  # [Nb, 6*hid]
+    mask_all = z_all > 0
+    p_all = jnp.maximum(z_all, 0.0)
+    t16_all = [
+        jnp.where(mask_all, dot(T_in[k], w1cs_ref[k]), 0.0).astype(cdt)
+        for k in range(3)
+    ]  # 3 x [Nb, 6*hid]
+    cdr_all = dot(CD, wdf1s_ref[...]) + rbias_ref[...]  # [Nb, 6*hid]
+
+    primal_cols, tang_cols = [], []
+    for v in range(n_vars):
+        sl = slice(v * hid, (v + 1) * hid)
+        p = p_all[:, sl]
+        W = w2f1_ref[v]
+        rp = dot(p.astype(cdt), W) + cdr_all[:, sl]
+        t16 = jnp.concatenate([t16_all[k][:, sl] for k in range(3)], axis=0)
+        rt = dot(t16, W)
+        maskr = rp > 0
+        pr = jnp.maximum(rp, 0.0)
+        tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
+
+        fw2 = fw2_ref[v][None, :].astype(f32)
+        w2wo = w2wo_ref[v][None, :].astype(f32)
+        wdwo = wdwo_ref[v][None, :].astype(f32)
+        o = (jnp.sum(pr * fw2, axis=-1)
+             + 2.0 * (jnp.sum(p * w2wo, axis=-1)
+                      + jnp.sum(CD.astype(f32) * wdwo, axis=-1))
+             + obias_ref[v] + ref_ref[:, v])
+        to = (jnp.sum(tr * fw2, axis=-1)
+              + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))
+        primal_cols.append(o[:, None])
+        tang_cols.append(to.reshape(3, block_n)[:, :, None])
+
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1)
+
+
+def fused_decode_jvp_v5(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,
+    dpe: jnp.ndarray,
+    cd_pe: jnp.ndarray,
+    ref: jnp.ndarray,
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v5 entry: restacks the fused weights column-wise per window in XLA."""
+    n, in_ch = pe.shape
+    ch = dpe.shape[-1]
+    n_vars, _, hid = fw.w1.shape
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+        dpe = jnp.pad(dpe, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        ref = jnp.pad(ref, ((0, pad), (0, 0)))
+    n_pad = pe.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    # column-stack across variables: [6, in, hid] -> [in, 6*hid]
+    stack = lambda w: jnp.moveaxis(w, 0, 1).reshape(w.shape[1], n_vars * hid)
+    w1s = stack(fw.w1).astype(cd)
+    w1cs = jnp.stack([stack(fw.w1c[:, k]) for k in range(3)]).astype(cd)  # [3, ch, 6h]
+    wdf1s = stack(fw.wdf1).astype(cd)
+    b1s = fw.b1.reshape(1, -1).astype(f32)  # [1, 6*hid] (var-major rows -> cols)
+    rbias_s = fw.rbias.reshape(1, -1).astype(f32)
+
+    wt = [w1s, w1cs, b1s, fw.w2f1.astype(cd), wdf1s, rbias_s,
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32),
+          fw.obias.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(_decode_kernel_v5, block_n=block_n,
+                               n_vars=n_vars, hid=hid, cdt=cd)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        **extra,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_vars), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad, n_vars), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, ch), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd), ref.astype(jnp.float32), *wt)
+    return primal[:n], tang[:, :n]
+
+
 def _decode_bwd_kernel_v4(
     pe_ref, dpe_ref, cdpe_ref, go_ref, gto_ref,
     w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,

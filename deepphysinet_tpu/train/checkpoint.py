@@ -112,6 +112,8 @@ def load_checkpoint(
 ):
     """Backend-dispatched load; falls back to the other backend's layout so a
     run can switch ckpt_backend mid-training and still resume."""
+    if backend not in ("pickle", "orbax"):
+        raise ValueError(f"unknown ckpt_backend {backend!r} (pickle|orbax)")
     if backend == "orbax":
         out = load_model_orbax(checkpoint_path, current_epoch, prefix, target)
         if out[0] is not None:

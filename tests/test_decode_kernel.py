@@ -325,3 +325,23 @@ def test_kbwd_op_end_to_end_gradients(setup, rng):
         np.testing.assert_allclose(np.asarray(getattr(ga, name)),
                                    np.asarray(getattr(gb, name)),
                                    rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_fused_decode_v5_matches_twin(setup, rng):
+    """Kernel v5 (stacked layer-1) == the v4 XLA twin (f32 interpret)."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_jvp_xla_v4, fuse_decode_weights, fused_decode_jvp_v5)
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+    model, params, tokens = setup
+    coords, coord_data = _rand_points(rng, 64)
+    fore_h = jnp.array([0.1], jnp.float32)
+    fw = fuse_decode_weights(extract_decode_weights(model, params, tokens, fore_h))
+    pe, dpe = pe_and_tangents(coords, COORD)
+    cd_pe = sinecos_pe(coord_data, make_freq_bands(16, 4.0), include_input=False)
+
+    p_ref, t_ref = decode_jvp_xla_v4(fw, pe, dpe, cd_pe, coord_data, jnp.float32)
+    p5, t5 = fused_decode_jvp_v5(fw, pe, dpe, cd_pe, coord_data, block_n=32,
+                                 interpret=True, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(p5), np.asarray(p_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t5), np.asarray(t_ref), rtol=2e-3, atol=1e-6)

@@ -167,3 +167,47 @@ def test_native_lzw_decoder_matches_python(rng):
         assert got == blob == _lzw_decode(enc)
     # corrupt stream -> graceful None (python raises; caller falls back)
     assert native.lzw_decode(b"\xff\xff\xff\xff\xff\xff", 64) is None
+
+
+def test_lzw_eoi_width_boundary_fuzz(rng):
+    """Regression: EOI must be emitted at the width the decoder reads it at
+    (decoder's table is one entry ahead after the final data code).  Fuzz
+    across sizes that land the table on early-change boundaries, through
+    both the Python and native decoders."""
+    from deepphysinet_tpu import native
+
+    for trial in range(300):
+        n = int(rng.randint(200, 9000))
+        data = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        enc = _lzw_encode(data)
+        assert _lzw_decode(enc) == data, f"python decoder, trial {trial} n={n}"
+        if native.available():
+            assert native.lzw_decode(enc, n) == data, f"native, trial {trial} n={n}"
+
+
+def test_epsg_classification():
+    from deepphysinet_tpu.data.geotiff import _is_geographic_epsg
+
+    assert _is_geographic_epsg(4326)  # WGS84
+    assert _is_geographic_epsg(4490)  # CGCS2000
+    assert _is_geographic_epsg(6318)  # NAD83(2011)
+    assert _is_geographic_epsg(7844)  # GDA2020
+    assert not _is_geographic_epsg(4087)  # World Equidistant Cylindrical
+    assert not _is_geographic_epsg(3857)  # Web Mercator
+    assert not _is_geographic_epsg(32650)  # UTM 50N
+
+
+def test_metadata_accessors_no_pixel_decode(tmp_path, rng, monkeypatch):
+    """get_projection/get_geo_transform/get_image_shape parse tags only."""
+    import deepphysinet_tpu.data.geotiff as gt
+
+    img = _img(rng, 30, 40, 2)
+    p = str(tmp_path / "meta.tiff")
+    write_tiff(p, img, GEO, projection=4326, compression="deflate", tiled=True,
+               tile_size=16)
+    monkeypatch.setattr(gt, "_segment_to_values",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("pixel decode on metadata query")))
+    assert gt.get_projection(p) == "EPSG:4326"
+    np.testing.assert_allclose(gt.get_geo_transform(p), GEO)
+    assert gt.get_image_shape(p) == (30, 40, 2)

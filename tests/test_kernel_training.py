@@ -77,3 +77,25 @@ def test_nondefault_pe_dims_init_and_step():
     step = make_train_step(model, tx, cfg)
     state, m = step(state, batch, with_pde=True)
     assert np.isfinite(float(m["total_loss"]))
+
+
+def test_jvp_engine_rejects_non_mean_norm():
+    """The jvp/kernel chain rule supports mean_norm only; other schemes must
+    fail loudly at step-build time, not silently produce wrong residuals
+    (the trainer also auto-falls-back to linearize for such configs)."""
+    bad_obs = {k: dict(v) for k, v in OBS_CFG.items()}
+    bad_obs["t2"]["norm_type"] = "min_max"
+    specs = norm_specs_from_cfg(bad_obs)
+    cfg = StepConfig(
+        coord_spec=CoordSpec(lon_size=257, lat_size=145, dx=27000.0, dy=27000.0,
+                             pred_t_span=86400.0),
+        obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
+        loss_factor=FACTORS, pde_engine="jvp",
+    )
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    tx = build_optimizer("Adam", lr=1e-3)
+    batch = _make_batch(np.random.RandomState(3), B=1, Nm=16, Ni=8)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx, cfg)
+    with pytest.raises(NotImplementedError, match="mean_norm"):
+        step(state, batch, with_pde=True)
