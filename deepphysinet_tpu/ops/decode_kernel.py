@@ -23,9 +23,15 @@ Math notes:
   residual assembly stay in XLA (physics/engine.py) where they are cheap
   elementwise f32 ops.
 
-The kernel is forward/eval-path only (residual evaluation, inference, bench);
-training keeps the jax.linearize path, which XLA differentiates for the
-parameter gradient.
+Kernel generations (docs/PERF.md has the measurements):
+* v1/v2 -- original fused decode+jvp (10.4M evals/s); v2 = sparse PE tangents.
+* v3 -- in-kernel PE variant (measured slower; documented).
+* v4 -- collapsed algebra (FusedDecodeWeights: the scalar head lets f2 and
+  the full trunk input fold into per-window fused matrices; 15.5M evals/s).
+  ``decode_bwd_kernel_v4`` is its fused backward (recompute-in-VMEM, weight
+  cotangents accumulated across the grid), making ``fused_decode_jvp_v4_kbwd``
+  the TRAINING hot path (7 ms/step, the 'kernel' engine TPU default).
+* v5 -- variable-stacked layer-1 variant (measured slower; documented).
 """
 
 from __future__ import annotations

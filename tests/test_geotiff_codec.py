@@ -211,3 +211,69 @@ def test_metadata_accessors_no_pixel_decode(tmp_path, rng, monkeypatch):
     assert gt.get_projection(p) == "EPSG:4326"
     np.testing.assert_allclose(gt.get_geo_transform(p), GEO)
     assert gt.get_image_shape(p) == (30, 40, 2)
+
+
+def test_planar_config_2_read(tmp_path, rng):
+    """Hand-crafted PlanarConfiguration=2 (separate planes) TIFF reads back
+    band-interleaved -- no writer in the repo emits this layout, so the
+    reader branch needs its own fixture."""
+    import struct
+    import zlib
+
+    h, w, c = 9, 11, 3
+    img = (rng.rand(h, w, c) * 1000).astype(np.float32)
+    planes = [zlib.compress(np.ascontiguousarray(img[:, :, k]).tobytes())
+              for k in range(c)]
+
+    tags = []  # (tag, type, count, inline_value or bytes)
+    def short(t, v): tags.append((t, 3, 1, v))
+    short(256, w); short(257, h)
+    tags.append((258, 3, c, struct.pack("<3H", 32, 32, 32)))
+    short(259, 8)  # deflate
+    short(262, 1)
+    short(277, c)
+    short(278, h)  # one strip per plane
+    short(284, 2)  # PLANAR
+    tags.append((339, 3, c, struct.pack("<3H", 3, 3, 3)))
+    counts = [len(p) for p in planes]
+    tags.append((279, 4, c, struct.pack("<3I", *counts)))
+    tags.append((273, 4, c, b"\0" * 12))  # patched below
+    tags.sort()
+
+    ifd_size = 2 + len(tags) * 12 + 4
+    extra, extra_off = b"", {}
+    for t, ty, n, v in tags:
+        if isinstance(v, bytes) and len(v) > 4:
+            extra_off[t] = 8 + ifd_size + len(extra)
+            extra += v
+    data_off = 8 + ifd_size + len(extra)
+    offs = []
+    cur = data_off
+    for p in planes:
+        offs.append(cur)
+        cur += len(p)
+    patched = struct.pack("<3I", *offs)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(tags))
+    for t, ty, n, v in tags:
+        if t == 273:
+            out += struct.pack("<HHII", t, ty, n, extra_off[t])
+            extra = extra[: extra_off[t] - 8 - ifd_size] + patched + \
+                extra[extra_off[t] - 8 - ifd_size + 12:]
+        elif isinstance(v, bytes):
+            if len(v) > 4:
+                out += struct.pack("<HHII", t, ty, n, extra_off[t])
+            else:
+                out += struct.pack("<HHI", t, ty, n) + v.ljust(4, b"\0")
+        else:
+            out += struct.pack("<HHIHH", t, ty, n, v, 0)
+    out += struct.pack("<I", 0)
+    out += extra
+    for p in planes:
+        out += p
+    path = str(tmp_path / "planar2.tiff")
+    with open(path, "wb") as fp:
+        fp.write(bytes(out))
+
+    got, _ = read_tiff(path)
+    np.testing.assert_array_equal(got, img)
