@@ -82,6 +82,51 @@ def _summary_writer(log_path: str):
         return _Null()
 
 
+class _AsyncLogger:
+    """Run metric fetch + log writes off the training thread.
+
+    Device->host fetches through the axon tunnel cost seconds each; doing
+    them inline collapses end-to-end throughput from the compiled-step rate
+    (~85 fps) to ~10.  The worker only ever touches freshly-created output
+    arrays (never donated buffers), so it is safe against the train step's
+    buffer donation.  ``close()`` drains the queue (called before checkpoints
+    and at loop exit so logs are complete and ordered)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._err = None
+
+        def run():
+            while True:
+                job = self._q.get()
+                if job is None:
+                    return
+                try:
+                    job()
+                except Exception as e:  # surface on the main thread
+                    if self._err is None:
+                        self._err = e
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def submit(self, job) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put(job)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 @INTERFACES.register("InterfacePhysics")
 class InterfacePhysics:
     def __init__(
@@ -405,8 +450,13 @@ class InterfacePhysics:
 
     _MAX_CONSECUTIVE_VALID_FAILURES = 3
 
-    def _device_mode_validation(self, valid_dataset, cfg, state, with_pde):
+    def _device_mode_validation(self, valid_dataset, cfg, state, with_pde,
+                                fetch: bool = True):
         """One host-sampled validation batch for the device-sampling loop.
+
+        ``fetch=False`` returns the device metric arrays without the tunnel
+        fetch (dispatch must stay on the training thread: the eval reads
+        ``state.params``, which the NEXT train step donates).
 
         A transient failure (one bad file) must not kill a long run, but a
         persistent one (shape/config bug) must not degrade into an endless
@@ -420,10 +470,11 @@ class InterfacePhysics:
                 self._valid_failures = 0
             item = valid_dataset[self._valid_item % len(valid_dataset)]
             self._valid_item += 1
-            out = self._fetch_metrics(
-                self._valid_eval_step(state.params, self._to_batch(
-                    {k: (np.asarray(v)[None] if not isinstance(v, str) else [v])
-                     for k, v in item.items() if k != "input_file"}), with_pde))
+            out = self._valid_eval_step(state.params, self._to_batch(
+                {k: (np.asarray(v)[None] if not isinstance(v, str) else [v])
+                 for k, v in item.items() if k != "input_file"}), with_pde)
+            if fetch:
+                out = self._fetch_metrics(out)
             self._valid_failures = 0
             return out
         except Exception as e:
@@ -504,6 +555,7 @@ class InterfacePhysics:
         steps_since_log = 0
         preempted = {"flag": False}
         self._install_preemption_handler(preempted)
+        async_log = _AsyncLogger()  # tunnel fetches off the dispatch loop
 
         class _CubeView:
             def __init__(self, ds):
@@ -559,26 +611,39 @@ class InterfacePhysics:
                 state, metrics = step(state, cube, sub, with_pde)
                 steps_since_log += 1
                 if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
-                    m = self._fetch_metrics(metrics)
                     fps = time_metric.get_fps(steps_since_log)
                     time_metric.reset()
                     steps_since_log = 0
-                    line = (f"[device-sampled] epoch:{epoch}/{num_epoch},iter:{global_step},"
-                            f"train loss:{m['total_loss']:.6f},margin:{m['margin_loss']:.6f},"
-                            f"grad:{m['grad_norm']:.3e},fps:{fps:.3f}")
-                    print(line)
-                    log_fp.write(line + "\n")
-                    log_fp.flush()
-                    for k, v in m.items():
-                        summary.add_scalar(f"training/{k}", v, global_step)
-                    # interleaved validation batch (host-sampled eval path)
+                    # dispatch validation here (params are donated next step);
+                    # fetch + writes happen on the logger thread
+                    vm_arrays = None
                     if len(valid_dataset) > 0:
-                        vm = self._device_mode_validation(valid_dataset, cfg, state, with_pde)
-                        if vm is not None:
+                        vm_arrays = self._device_mode_validation(
+                            valid_dataset, cfg, state, with_pde, fetch=False)
+
+                    def log_job(metrics=metrics, vm_arrays=vm_arrays,
+                                epoch=epoch, global_step=global_step, fps=fps):
+                        m = self._fetch_metrics(metrics)
+                        line = (f"[device-sampled] epoch:{epoch}/{num_epoch},"
+                                f"iter:{global_step},"
+                                f"train loss:{m['total_loss']:.6f},"
+                                f"margin:{m['margin_loss']:.6f},"
+                                f"grad:{m['grad_norm']:.3e},fps:{fps:.3f}")
+                        print(line)
+                        log_fp.write(line + "\n")
+                        log_fp.flush()
+                        for k, v in m.items():
+                            summary.add_scalar(f"training/{k}", v, global_step)
+                        if vm_arrays is not None:
+                            vm = self._fetch_metrics(vm_arrays)
                             log_fp.write(f"valid loss:{vm['total_loss']:.6f}\n")
                             for k, v in vm.items():
                                 summary.add_scalar(f"validation/{k}", v, global_step)
+
+                    async_log.submit(log_job)
                 if preempted["flag"]:
+                    async_log.close()
+                    async_log = _AsyncLogger()
                     print(f"preemption: saving checkpoint at step {global_step}")
                     ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
                                          params=state.params,
@@ -602,6 +667,7 @@ class InterfacePhysics:
                     input_time_step_nums=train_dataset.input_time_step_nums,
                     obs_norm_cfg=self.obs_norm_cfg,
                 )
+        async_log.close()  # drain pending fetches before closing the sinks
         log_fp.close()
         summary.close()
         return state
