@@ -13,9 +13,13 @@ it carries ~6x the FLOPs of pure residual evaluation, so its evals/s is
 intrinsically lower.
 
 Timing is slope-based: wall time of K2 iterations minus wall time of K1, each
-ended by one scalar device fetch.  On tunneled TPU backends a D2H fetch costs
-tens of seconds; differencing cancels that constant, so the slope is pure
-compute time.
+ended by one scalar device fetch.  On tunneled TPU backends a D2H fetch can
+cost tens of seconds; differencing cancels that constant, so the slope is pure
+compute time.  The tunnel also has rare multi-second stalls (usually right
+after a fresh compile) that poison any single slope sample, so every
+measurement takes a warmup run first and the median of several slope
+replicates (replicate count adapts to the measured fetch cost so the whole
+bench stays inside its time budget on slow-tunnel days).
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -97,8 +101,10 @@ def main() -> None:
     from deepphysinet_tpu.train.point_fn import make_phys_fn
 
     use_kernel = jax.default_backend() == "tpu"
-    n_eval = 98304  # residual-eval batch (measured sweet spot: larger batches
-    # pay more PE-prep HBM pressure than they save in encoder amortization)
+    n_eval = 40960  # residual-eval batch: measured throughput peak (docs/PERF.md
+    # batch-size curve: a ~17.8M evals/s plateau spans 24K-49K points, falling
+    # to 15.7M at 57K and monotonically after -- the XLA prep pipeline's
+    # working set stops fitting in VMEM; larger sweeps should chunk at ~40K)
     coords = jnp.asarray(
         np.stack([
             rng.rand(n_eval) * 27000 * (lon_size - 1),
@@ -124,6 +130,10 @@ def main() -> None:
         return pde_residual_losses(phys_fn, coords, f, factors)["total"]
 
     _ = float(residual_eval(state.params, coords, nwp_eval, coriolis_f))  # compile
+    t0 = time.monotonic()
+    _ = float(residual_eval(state.params, coords, nwp_eval, coriolis_f))
+    fetch_cost = time.monotonic() - t0  # ~0.03 s direct, 30-70 s tunneled
+    eval_reps = 5 if fetch_cost < 5.0 else 2
 
     def timed_eval(k: int) -> float:
         t0 = time.monotonic()
@@ -133,10 +143,14 @@ def main() -> None:
         _ = float(out)
         return time.monotonic() - t0
 
-    # fetch-time variance through the tunnel is ~seconds; 1000 differenced
-    # iterations push the slope noise below 1%
-    te1, te2 = timed_eval(50), timed_eval(1050)
-    eval_time = (te2 - te1) / 1000.0
+    import statistics
+
+    def median_slope(timed, reps: int, k1: int = 50, k2: int = 1050) -> float:
+        timed(60)  # warmup: absorb post-compile tunnel stalls
+        return statistics.median(
+            (timed(k2) - timed(k1)) / (k2 - k1) for _ in range(reps))
+
+    eval_time = median_slope(timed_eval, eval_reps)
     evals_per_sec = n_eval / max(eval_time, 1e-9)
 
     # ---- secondary: full training step (stderr context) ----
@@ -151,8 +165,8 @@ def main() -> None:
         _ = float(m["total_loss"])  # one fetch forces the whole chain
         return time.monotonic() - t0
 
-    t1, t2 = timed_run(20), timed_run(220)
-    step_time = (t2 - t1) / 200.0
+    step_reps = 3 if fetch_cost < 5.0 else 1
+    step_time = median_slope(timed_run, step_reps, k1=20, k2=220)
     train_evals = (n_margin + n_inter) * B / max(step_time, 1e-9)
 
     # (engine comparison at this geometry, docs/PERF.md: jvp 8.93 ms <
