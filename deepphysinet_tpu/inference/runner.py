@@ -61,7 +61,16 @@ def _jitted_encode(model):
     return _cached_jit("encode", model, (), build)
 
 
-def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip):
+# Queries larger than this decode in fixed-size chunks: the decode pipeline's
+# throughput peaks on a ~24K-49K-point plateau and falls off above ~50K when
+# its XLA intermediates stop fitting in VMEM (docs/PERF.md batch-size curve).
+# Fixed chunks also mean ONE remote compile serves any query size, instead of
+# a fresh ~30 s tunnel compile per distinct N.
+_DECODE_CHUNK = 40960
+
+
+def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip,
+                   chunk: int = _DECODE_CHUNK):
     def build():
         def fn(params, tokens, x, y, t, nwp, fh_arr):
             pe = encode_coord(x, y, t, cfg.coord_spec)
@@ -72,10 +81,28 @@ def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip)
 
     fn = _cached_jit("decode", model,
                      (cfg.coord_spec, cfg.obs_specs, bool(with_clip)), build)
-    return fn(params, tokens, jnp.asarray(x, jnp.float32),
-              jnp.asarray(y, jnp.float32), jnp.asarray(t, jnp.float32),
-              jnp.asarray(nwp, jnp.float32),
-              jnp.asarray([fh_norm], jnp.float32))
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+    t = np.asarray(t, np.float32)
+    nwp = np.asarray(nwp, np.float32)
+    fh_arr = jnp.asarray([fh_norm], jnp.float32)
+    n = x.shape[0]
+    if n <= chunk:
+        return fn(params, tokens, jnp.asarray(x), jnp.asarray(y),
+                  jnp.asarray(t), jnp.asarray(nwp), fh_arr)
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        pad = chunk - (e - s)
+        xs, ys, ts, ns = x[s:e], y[s:e], t[s:e], nwp[s:e]
+        if pad:  # last chunk: edge-pad to the compiled shape, trimmed below
+            xs = np.pad(xs, (0, pad), mode="edge")
+            ys = np.pad(ys, (0, pad), mode="edge")
+            ts = np.pad(ts, (0, pad), mode="edge")
+            ns = np.pad(ns, ((0, pad), (0, 0)), mode="edge")
+        outs.append(fn(params, tokens, jnp.asarray(xs), jnp.asarray(ys),
+                       jnp.asarray(ts), jnp.asarray(ns), fh_arr))
+    return jnp.concatenate(outs, axis=0)[:n]
 
 
 def predict_grid(
