@@ -121,9 +121,9 @@ def main() -> None:
         tokens = model.apply(params, batch.field, jnp.asarray([[24.0 / 360.0]]),
                              method=PhysicsNet.encode)
         if use_kernel:  # fused Pallas decode+jvp kernel (ops/decode_kernel.py)
-            fd = fused_kernel_fields(model, params, tokens[0], coords, nwp,
-                                     fh_norm, step_cfg.coord_spec,
-                                     step_cfg.obs_specs, with_clip=True)
+            _, fd = fused_kernel_fields(model, params, tokens[0], coords, nwp,
+                                        fh_norm, step_cfg.coord_spec,
+                                        step_cfg.obs_specs, with_clip=True)
             return residual_losses_from_fields(fd, f, factors)["total"]
         phys_fn = make_phys_fn(model, params, tokens[0], nwp, fh_norm,
                                step_cfg.coord_spec, step_cfg.obs_specs, with_clip=True)
@@ -133,7 +133,9 @@ def main() -> None:
     t0 = time.monotonic()
     _ = float(residual_eval(state.params, coords, nwp_eval, coriolis_f))
     fetch_cost = time.monotonic() - t0  # ~0.03 s direct, 30-70 s tunneled
-    eval_reps = 5 if fetch_cost < 5.0 else 2
+    # 3 is the floor: a median of 2 is a mean, which a single stall still
+    # shifts by half its size -- slow-fetch days are exactly stall days
+    eval_reps = 5 if fetch_cost < 5.0 else 3
 
     def timed_eval(k: int) -> float:
         t0 = time.monotonic()
@@ -165,6 +167,8 @@ def main() -> None:
         _ = float(m["total_loss"])  # one fetch forces the whole chain
         return time.monotonic() - t0
 
+    # stderr context only (not the reported metric): one slope is acceptable
+    # on slow-fetch days to keep the bench inside its time budget
     step_reps = 3 if fetch_cost < 5.0 else 1
     step_time = median_slope(timed_run, step_reps, k1=20, k2=220)
     train_evals = (n_margin + n_inter) * B / max(step_time, 1e-9)

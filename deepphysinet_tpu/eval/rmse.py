@@ -136,7 +136,11 @@ def evaluate_rmse_fullgrid(
     n_windows = len(dataset) if max_windows is None else min(max_windows, len(dataset))
     for w in range(n_windows):
         input_file = dataset.input_files[w]
-        field = jnp.asarray(dataset.get_item_input(input_file)[None], jnp.float32)
+        # full token matrix: window inputs + the constant rows, exactly as the
+        # training/inference paths assemble it (dataset.py:462,484,492)
+        field = jnp.asarray(np.concatenate(
+            [dataset.get_item_input(input_file), dataset.constant_variables],
+            axis=0)[None], jnp.float32)
         prefix, date_str, forecast_h, _ = dataset._parse_item(input_file)
         fh_norm = jnp.asarray([forecast_h / dataset.forecast_time_period], jnp.float32)
         label_cube = dataset.get_label_cube(input_file)  # [6, H, W, T] normalized

@@ -35,21 +35,28 @@ _VAR_KEYS = ("u", "v", "P", "T", "q", "rio")
 _DATE_FMT = "%Y-%m-%d_%H_%M_%S"
 
 
-import weakref
+from collections import OrderedDict
 
 # jitted encode/decode per (model, step-config) -- inference calls these in a
 # loop over frames/queries; unjitted flax applies dispatch op-by-op, which is
-# ~1000x slower through the tunneled backend (measured 2.9 s/frame -> ms)
-_JIT_CACHE: dict = {}
+# ~1000x slower through the tunneled backend (measured 2.9 s/frame -> ms).
+# LRU-bounded: each cached fn closes over (and so pins) its model, which keeps
+# id(model) keys stable while cached but would leak every model ever used if
+# the cache were unbounded.
+_JIT_CACHE: "OrderedDict" = OrderedDict()
+_JIT_CACHE_CAP = 8
 
 
 def _cached_jit(kind, model, key_extra, build):
     key = (kind, id(model)) + key_extra
-    entry = _JIT_CACHE.get(key)
-    if entry is not None and entry[0]() is model:
-        return entry[1]
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        _JIT_CACHE.move_to_end(key)
+        return fn
     fn = jax.jit(build())
-    _JIT_CACHE[key] = (weakref.ref(model), fn)
+    _JIT_CACHE[key] = fn
+    if len(_JIT_CACHE) > _JIT_CACHE_CAP:
+        _JIT_CACHE.popitem(last=False)
     return fn
 
 

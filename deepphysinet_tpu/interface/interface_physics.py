@@ -635,10 +635,19 @@ class InterfacePhysics:
                         for k, v in m.items():
                             summary.add_scalar(f"training/{k}", v, global_step)
                         if vm_arrays is not None:
-                            vm = self._fetch_metrics(vm_arrays)
-                            log_fp.write(f"valid loss:{vm['total_loss']:.6f}\n")
-                            for k, v in vm.items():
-                                summary.add_scalar(f"validation/{k}", v, global_step)
+                            # tolerate a transient fetch failure the same way
+                            # _device_mode_validation tolerates a bad batch: a
+                            # one-off tunnel error must not kill a long run
+                            try:
+                                vm = self._fetch_metrics(vm_arrays)
+                            except Exception as e:
+                                print(f"warning: validation metric fetch "
+                                      f"failed ({e}); skipping this log step")
+                                vm = None
+                            if vm is not None:
+                                log_fp.write(f"valid loss:{vm['total_loss']:.6f}\n")
+                                for k, v in vm.items():
+                                    summary.add_scalar(f"validation/{k}", v, global_step)
 
                     async_log.submit(log_job)
                 if preempted["flag"]:

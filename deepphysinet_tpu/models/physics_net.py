@@ -62,6 +62,13 @@ class PhysicsNet(nn.Module):
 
     def encode(self, field_x: jnp.ndarray, forecast_h: jnp.ndarray) -> jnp.ndarray:
         """[B, L, enc_in], [B, 1] -> tokens [B, L + ltn, c_out] (meta_net.py:19-20)."""
+        expected = self.net_cfg.get("token_num")
+        if expected is not None and field_x.shape[1] != int(expected):
+            # attention would silently accept a wrong-length sequence (e.g. a
+            # field assembled without the constant rows); fail loudly instead
+            raise ValueError(
+                f"field has {field_x.shape[1]} tokens, net_cfg.token_num="
+                f"{expected} (did the caller forget constant_variables?)")
         return self.meta_net(field_x, forecast_h)
 
     def decode(

@@ -1008,6 +1008,7 @@ def decode_bwd_kernel_v4(
             acc(n_vars, hid), acc(n_vars, hid), acc(n_vars, in_ch),
         ),
         interpret=interpret,
+        **extra,
     )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd),
       g_primal.astype(f32), g_tang.astype(f32), *wt)
     return FusedDecodeWeights(

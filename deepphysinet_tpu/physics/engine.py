@@ -169,14 +169,18 @@ def fused_kernel_fields(
     interpret: bool = False,
     trainable: bool = False,
     version: int = 4,
-) -> FieldDerivatives:
-    """Fields + derivatives via the fused Pallas decode kernel.
+) -> Tuple[jnp.ndarray, FieldDerivatives]:
+    """``(primal_norm [N, 6], FieldDerivatives)`` via the fused Pallas kernel.
 
-    ``trainable=True`` routes through the custom-VJP wrapper so the result can
-    sit inside a differentiated training loss (kernel forward, XLA-twin
-    backward); otherwise the plain eval kernel runs.  ``version=4`` (default)
-    uses the collapsed-algebra kernel (ops/decode_kernel.py:FusedDecodeWeights,
-    ~2.3x fewer MXU FLOPs); ``version=2`` keeps the round-1 kernel.
+    The normalized primal is returned alongside the physical fields so the
+    training step can reuse it as the data-loss prediction instead of paying
+    a second full decode of the margin points (same contract as
+    ``jvp_fields``).  ``trainable=True`` routes through the custom-VJP wrapper
+    so the result can sit inside a differentiated training loss (Pallas
+    forward + fused Pallas backward); otherwise the plain eval kernel runs.
+    ``version=4`` (default) uses the collapsed-algebra kernel
+    (ops/decode_kernel.py:FusedDecodeWeights, ~2.3x fewer MXU FLOPs);
+    ``version=2`` keeps the round-1 kernel.
     """
     from deepphysinet_tpu.ops.decode_kernel import (
         fuse_decode_weights, fused_decode_jvp, fused_decode_jvp_trainable,
@@ -203,7 +207,7 @@ def fused_kernel_fields(
         primal, tang = fused_decode_jvp(weights, pe, dpe, cd_pe, coord_data,
                                         interpret=interpret,
                                         compute_dtype=model.compute_dtype)
-    return fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
+    return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
 
 def jvp_fields(

@@ -85,7 +85,8 @@ class StepConfig:
     #   with the data loss; 8.93 ms vs linearize's 9.24 ms, docs/PERF.md);
     # 'linearize' = jax.linearize over the model decode (round-1 default,
     #   required for non-mean_norm observation normalization);
-    # 'kernel' = fused Pallas v4 forward with XLA-twin backward (TPU only)
+    # 'kernel' = fused Pallas v4 forward + fused Pallas backward (the TPU
+    #   trainer default: 4.96 ms/step with the shared margin primal)
     pde_engine: str = "jvp"
 
     def factors(self) -> Dict[str, float]:
@@ -126,15 +127,19 @@ def _window_losses(
     pde_criterion = None if cfg.pde_loss == "MSELoss" else build_loss(cfg.pde_loss)
     out: Dict[str, jnp.ndarray] = {}
 
+    if cfg.pde_engine not in ("jvp", "linearize", "kernel"):
+        raise ValueError(
+            f"unknown pde_engine {cfg.pde_engine!r}; expected 'jvp', "
+            "'linearize' or 'kernel' (train_cfg.tpu.pde_engine)")
+
     def engine_fields(pts: PointBatch):
         """(primal_norm, FieldDerivatives) for one point set via cfg.pde_engine."""
         coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
         if cfg.pde_engine == "kernel":
-            fd = fused_kernel_fields(
+            return fused_kernel_fields(
                 model, params, tokens, coords, pts.nwp, fore_h,
                 cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
             )
-            return None, fd
         return jvp_fields(model, params, tokens, coords, pts.nwp, fore_h,
                           cfg.coord_spec, cfg.obs_specs, with_clip=True)
 
@@ -168,12 +173,9 @@ def _window_losses(
             out[f"margin_{k}"] = v
     elif with_pde:
         # --- shared margin evaluation via the jvp/kernel engine: the engine's
-        # normalized primal doubles as the data-loss prediction ---
+        # normalized primal doubles as the data-loss prediction (no second
+        # decode of the 20480 margin points) ---
         pred, fd = engine_fields(margin)
-        if pred is None:  # kernel path: fields are physical; decode pred once
-            pe = encode_coord(margin.x, margin.y, margin.t, cfg.coord_spec)
-            pred = model.apply(params, tokens, pe, margin.nwp, fore_h,
-                               method=PhysicsNet.decode)
         m_losses = residual_losses_from_fields(fd, margin.f, factors,
                                                cfg.constants, pde_criterion)
         for k, v in m_losses.items():

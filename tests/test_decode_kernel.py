@@ -114,8 +114,9 @@ def test_fused_residual_losses_match_engine(setup, rng):
                            obs_specs, with_clip=True)
     ref_losses = pde_residual_losses(phys_fn, coords, f, FACTORS)
 
-    fd = fused_kernel_fields(model, params, tokens, coords, coord_data, fore_h,
-                             COORD, obs_specs, with_clip=True, interpret=True)
+    _, fd = fused_kernel_fields(model, params, tokens, coords, coord_data,
+                                fore_h, COORD, obs_specs, with_clip=True,
+                                interpret=True)
     got_losses = residual_losses_from_fields(fd, f, FACTORS)
     for k in ref_losses:
         np.testing.assert_allclose(float(got_losses[k]), float(ref_losses[k]),
