@@ -556,6 +556,12 @@ class InterfacePhysics:
         preempted = {"flag": False}
         self._install_preemption_handler(preempted)
         async_log = _AsyncLogger()  # tunnel fetches off the dispatch loop
+        # epoch-boundary saves off the hot loop too (tpu.async_ckpt=False for
+        # strictly synchronous saves); preemption/final saves stay synchronous
+        # after a drain
+        async_ckpt = (ckpt.AsyncCheckpointer()
+                      if bool(self.train_cfg.get("tpu", {}).get(
+                          "async_ckpt", True)) else None)
 
         class _CubeView:
             def __init__(self, ds):
@@ -653,6 +659,8 @@ class InterfacePhysics:
                 if preempted["flag"]:
                     async_log.close()
                     async_log = _AsyncLogger()
+                    if async_ckpt is not None:
+                        async_ckpt.wait()  # pending saves land first
                     print(f"preemption: saving checkpoint at step {global_step}")
                     ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
                                          params=state.params,
@@ -666,9 +674,7 @@ class InterfacePhysics:
             if epoch % save_step == 0 or stop:
                 lr = schedule(epoch + 1)
                 set_learning_rate(state.opt_state, lr)
-                ckpt.save_checkpoint(
-                    checkpoint_path, epoch, global_step, backend=self.ckpt_backend,
-                    params=state.params, opt_state=state.opt_state, prefix="physics",
+                meta_kwargs = dict(
                     dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,
                     label_time_step=time_step,
                     input_variable_cfg=self.variable_cfg,
@@ -676,6 +682,20 @@ class InterfacePhysics:
                     input_time_step_nums=train_dataset.input_time_step_nums,
                     obs_norm_cfg=self.obs_norm_cfg,
                 )
+                if async_ckpt is not None and not stop:
+                    async_ckpt.submit(
+                        checkpoint_path, epoch, global_step,
+                        params=state.params, opt_state=state.opt_state,
+                        prefix="physics", backend=self.ckpt_backend, **meta_kwargs)
+                else:  # final save: synchronous so return implies durable
+                    if async_ckpt is not None:
+                        async_ckpt.wait()
+                    ckpt.save_checkpoint(
+                        checkpoint_path, epoch, global_step,
+                        backend=self.ckpt_backend, params=state.params,
+                        opt_state=state.opt_state, prefix="physics", **meta_kwargs)
+        if async_ckpt is not None:
+            async_ckpt.close()  # drain in-flight saves
         async_log.close()  # drain pending fetches before closing the sinks
         log_fp.close()
         summary.close()

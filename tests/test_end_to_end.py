@@ -93,3 +93,35 @@ def test_orbax_backend_train_resume(smoke_cfg, tmp_path):
     # resume through the same backend continues without error
     models2 = builder_models(**conf)
     models2.run_train_interface(max_steps=5)
+
+
+def test_device_sampling_trainer_async_ckpt(tmp_path_factory):
+    """The device-sampling loop (production path) with async epoch saves:
+    checkpoints land durably and a resume continues from them."""
+    root = str(tmp_path_factory.mktemp("e2e_devmode"))
+    os.environ["DPN_SMOKE_DATA"] = root
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
+    conf = cfg["config"]
+    conf["train_cfg"].setdefault("tpu", {})["sample_mode"] = "device"
+
+    # smoke config: 3 epochs x 2 steps; max_steps=3 stops mid-epoch-1 via the
+    # synchronous final-save path
+    models = builder_models(**conf)
+    models.run_train_interface(max_steps=3)
+    ckpts = glob.glob(os.path.join(root, "checkpoints", "physics_*.ckpt"))
+    assert any("latest" in c for c in ckpts)
+
+    from deepphysinet_tpu.train import checkpoint as ckpt_mod
+
+    state, next_epoch, step = ckpt_mod.load_checkpoint(
+        os.path.join(root, "checkpoints"))
+    assert step == 3
+    assert state["opt_state"] is not None  # Adam moments saved
+
+    # resume runs the remaining epoch; its last save is ASYNC and must still
+    # be durable once the trainer returns (close() drains in-flight saves)
+    models2 = builder_models(**conf)
+    models2.run_train_interface()
+    _, _, step2 = ckpt_mod.load_checkpoint(os.path.join(root, "checkpoints"))
+    assert step2 == 5

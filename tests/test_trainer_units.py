@@ -67,6 +67,41 @@ def test_checkpoint_roundtrip_with_opt_state(tmp_path):
     assert ckpt.gather_key_from_state("missing", state, "dflt") == "dflt"
 
 
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer: snapshot-on-submit, durable after wait()."""
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones((3, 3), jnp.float32)}
+    opt = {"mu": jnp.full((3,), 0.5, jnp.float32)}
+    path = str(tmp_path)
+    ac = ckpt.AsyncCheckpointer()
+    try:
+        ac.submit(path, 7, 123, params=params, opt_state=opt, dx=27000.0)
+        ac.wait()
+        assert os.path.exists(os.path.join(path, "physics_latest.ckpt"))
+        state, next_epoch, step = ckpt.load_checkpoint(path)
+        assert next_epoch == 8 and step == 123
+        np.testing.assert_array_equal(np.asarray(state["model"]["w"]),
+                                      np.ones((3, 3), np.float32))
+        np.testing.assert_array_equal(np.asarray(state["opt_state"]["mu"]),
+                                      np.full((3,), 0.5, np.float32))
+        assert ckpt.gather_key_from_state("dx", state, 0.0) == 27000.0
+    finally:
+        ac.close()
+
+
+def test_async_checkpointer_surfaces_worker_errors():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    ac = ckpt.AsyncCheckpointer()
+    # unwritable path (under /proc) -> the worker's failure must re-raise
+    ac.submit("/proc/definitely/not/writable", 0, 0,
+              params={"w": jnp.zeros(2)})
+    with _pytest.raises(Exception):
+        ac.close()
+
+
 def test_checkpoint_by_epoch(tmp_path):
     path = str(tmp_path)
     for e in (0, 1, 2):
