@@ -350,6 +350,10 @@ class InterfacePhysics:
         # physics_latest (the reference can only resume from epoch boundaries).
         preempted = {"flag": False}
         self._install_preemption_handler(preempted)
+        # epoch saves off the loop thread (same policy as the device loop)
+        async_ckpt = (ckpt.AsyncCheckpointer()
+                      if bool(tc.get("tpu", {}).get("async_ckpt", True))
+                      else None)
 
         valid_iter: Iterator = iter(valid_loader)
         steps_since_log = 0
@@ -410,6 +414,8 @@ class InterfacePhysics:
                                           global_step, with_pde)
 
                 if preempted["flag"]:
+                    if async_ckpt is not None:
+                        async_ckpt.wait()  # pending saves land first
                     print(f"preemption: saving checkpoint at step {global_step}")
                     ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
                                          params=state.params,
@@ -425,9 +431,7 @@ class InterfacePhysics:
                 lr = schedule(epoch + 1)
                 set_learning_rate(state.opt_state, lr)
                 summary.add_scalar("learning_rate", lr, global_step)
-                ckpt.save_checkpoint(
-                    checkpoint_path, epoch, global_step, backend=self.ckpt_backend,
-                    params=state.params, opt_state=state.opt_state, prefix="physics",
+                meta_kwargs = dict(
                     dx=self.dx, dy=self.dy, dt=self.dt,
                     pred_x_span=self.dx * self.lon_size,
                     pred_y_span=self.dy * self.lat_size,
@@ -440,6 +444,20 @@ class InterfacePhysics:
                     start_time=str(train_dataset.start_time),
                     end_time=str(train_dataset.end_time),
                 )
+                if async_ckpt is not None and not stop:
+                    async_ckpt.submit(
+                        checkpoint_path, epoch, global_step,
+                        params=state.params, opt_state=state.opt_state,
+                        prefix="physics", backend=self.ckpt_backend, **meta_kwargs)
+                else:  # final save: synchronous so return implies durable
+                    if async_ckpt is not None:
+                        async_ckpt.wait()
+                    ckpt.save_checkpoint(
+                        checkpoint_path, epoch, global_step,
+                        backend=self.ckpt_backend, params=state.params,
+                        opt_state=state.opt_state, prefix="physics", **meta_kwargs)
+        if async_ckpt is not None:
+            async_ckpt.close()  # drain in-flight saves
         log_fp.close()
         summary.close()
         return state
