@@ -427,7 +427,8 @@ class InterfacePhysics:
                     stop = True
                     break
 
-            if epoch % save_step == 0 or stop:
+            is_last = stop or epoch == num_epoch - 1
+            if epoch % save_step == 0 or is_last:
                 lr = schedule(epoch + 1)
                 set_learning_rate(state.opt_state, lr)
                 summary.add_scalar("learning_rate", lr, global_step)
@@ -444,7 +445,7 @@ class InterfacePhysics:
                     start_time=str(train_dataset.start_time),
                     end_time=str(train_dataset.end_time),
                 )
-                if async_ckpt is not None and not stop:
+                if async_ckpt is not None and not is_last:
                     async_ckpt.submit(
                         checkpoint_path, epoch, global_step,
                         params=state.params, opt_state=state.opt_state,
@@ -689,7 +690,8 @@ class InterfacePhysics:
                 if max_steps and global_step >= max_steps:
                     stop = True
                     break
-            if epoch % save_step == 0 or stop:
+            is_last = stop or epoch == num_epoch - 1
+            if epoch % save_step == 0 or is_last:
                 lr = schedule(epoch + 1)
                 set_learning_rate(state.opt_state, lr)
                 meta_kwargs = dict(
@@ -700,7 +702,7 @@ class InterfacePhysics:
                     input_time_step_nums=train_dataset.input_time_step_nums,
                     obs_norm_cfg=self.obs_norm_cfg,
                 )
-                if async_ckpt is not None and not stop:
+                if async_ckpt is not None and not is_last:
                     async_ckpt.submit(
                         checkpoint_path, epoch, global_step,
                         params=state.params, opt_state=state.opt_state,

@@ -125,3 +125,24 @@ def test_device_sampling_trainer_async_ckpt(tmp_path_factory):
     models2.run_train_interface()
     _, _, step2 = ckpt_mod.load_checkpoint(os.path.join(root, "checkpoints"))
     assert step2 == 5
+
+
+def test_final_epoch_always_saved(tmp_path_factory):
+    """A natural finish on a non-multiple-of-save_step epoch must still save:
+    with save_step > num_epoch, the only guaranteed checkpoint is the final
+    one, and it must carry the final global_step."""
+    root = str(tmp_path_factory.mktemp("e2e_tailsave"))
+    os.environ["DPN_SMOKE_DATA"] = root
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
+    conf = cfg["config"]
+    conf["train_cfg"]["checkpoints"]["save_step"] = 100  # >> num_epoch (3)
+
+    models = builder_models(**conf)
+    models.run_train_interface()  # 3 epochs x 2 steps, ends naturally
+
+    from deepphysinet_tpu.train import checkpoint as ckpt_mod
+
+    state, next_epoch, step = ckpt_mod.load_checkpoint(
+        os.path.join(root, "checkpoints"))
+    assert step == 6 and next_epoch == 3
