@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepphysinet_tpu.models.physics_net import PhysicsNet
-from deepphysinet_tpu.ops.coords import encode_coord
 from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 
 VAR_NAMES = ("u10", "v10", "pres", "t2", "q2", "rio")
@@ -44,6 +43,11 @@ def evaluate_rmse(
     count = 0
     n_windows = len(dataset) if max_windows is None else min(max_windows, len(dataset))
 
+    from deepphysinet_tpu.ops.coords import encode_coord
+
+    # plain decode (not collapsed_decode): this fast estimator stays
+    # duck-typed over anything with encode/decode methods (tested with a
+    # FakeModel); the exhaustive fullgrid sweep below uses the collapsed path
     @jax.jit
     def run_window(params, field, fh_norm, x, y, t, nwp):
         tokens = model.apply(params, field, fh_norm[None, :], method=PhysicsNet.encode)
@@ -108,6 +112,8 @@ def evaluate_rmse_fullgrid(
     window_h = dataset.input_time_step * dataset.input_time_step_nums
     n_hours = window_h // lts + 1
 
+    from deepphysinet_tpu.physics.engine import collapsed_decode
+
     @jax.jit
     def run_window(params, field, fh_norm, nwp_all, labels_all):
         # nwp_all / labels_all: [T, H*W, 6] normalized
@@ -116,9 +122,9 @@ def evaluate_rmse_fullgrid(
         def body(carry, inp):
             t_hour, nwp, lab = inp
             t_sec = jnp.full_like(x_m, 3600.0) * t_hour
-            pe = encode_coord(x_m, y_m, t_sec, cfg.coord_spec)
-            out = model.apply(params, tokens[0], pe, nwp, fh_norm,
-                              method=PhysicsNet.decode)
+            coords = jnp.stack([x_m, y_m, t_sec], axis=-1)
+            out = collapsed_decode(model, params, tokens[0], coords, nwp,
+                                   fh_norm, cfg.coord_spec)
             pred = inverse_norm_stack(out, cfg.obs_specs, with_clip=True)
             labp = inverse_norm_stack(lab, cfg.obs_specs, with_clip=True)
             d = (pred - labp).astype(jnp.float32)

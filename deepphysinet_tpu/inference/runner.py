@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepphysinet_tpu.models.physics_net import PhysicsNet
-from deepphysinet_tpu.ops.coords import encode_coord
 from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 from deepphysinet_tpu.train import checkpoint as ckpt
 
@@ -80,9 +79,13 @@ def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip,
                    chunk: int = _DECODE_CHUNK):
     def build():
         def fn(params, tokens, x, y, t, nwp, fh_arr):
-            pe = encode_coord(x, y, t, cfg.coord_spec)
-            out = model.apply(params, tokens, pe, nwp, fh_arr,
-                              method=PhysicsNet.decode)
+            # collapsed v4 algebra: same function as PhysicsNet.decode at
+            # ~2.3x fewer matmul FLOPs (physics/engine.py:collapsed_decode)
+            from deepphysinet_tpu.physics.engine import collapsed_decode
+
+            coords = jnp.stack([x, y, t], axis=-1)
+            out = collapsed_decode(model, params, tokens, coords, nwp,
+                                   fh_arr, cfg.coord_spec)
             return inverse_norm_stack(out, cfg.obs_specs, with_clip=with_clip)
         return fn
 

@@ -681,6 +681,40 @@ def decode_jvp_xla_v4(
     return primal, tang
 
 
+def decode_xla_v4_primal(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,  # [N, in_ch] (pe_and_tangents layout)
+    cd_pe: jnp.ndarray,  # [N, in_ch]
+    ref: jnp.ndarray,  # [N, 6] normalized conditioning values
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Primal-only collapsed decode: [N, 6] normalized outputs, no tangents.
+
+    The cheap pure-decode path (same per-point algebra as decode_jvp_xla_v4
+    minus the tangent chains): ~2.3x fewer matmul FLOPs than
+    ``PhysicsNet.decode`` for the identical function of the same parameters.
+    Fully differentiable -- used by the data-loss-only training branch,
+    evaluation sweeps, and inference (engine.collapsed_decode)."""
+    cdt = compute_dtype
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jnp.einsum("...i,io->...o", a.astype(cdt), w.astype(cdt),
+                          preferred_element_type=f32)
+
+    cols = []
+    for v in range(fw.w1.shape[0]):
+        p = jnp.maximum(dot(pe, fw.w1[v]) + fw.b1[v], 0.0)
+        r = dot(p, fw.w2f1[v]) + dot(cd_pe, fw.wdf1[v]) + fw.rbias[v]
+        pr = jnp.maximum(r, 0.0)
+        o = (jnp.sum(pr * fw.fw2[v], -1)
+             + 2.0 * (jnp.sum(p * fw.w2wo[v], -1)
+                      + jnp.sum(cd_pe.astype(f32) * fw.wdwo[v], -1))
+             + fw.obias[v] + ref[:, v])
+        cols.append(o)
+    return jnp.stack(cols, -1)  # [N, 6]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_decode_jvp_trainable_v4(fw, pe, dpe, cd_pe, ref,
                                   block_n=256, compute_dtype=jnp.bfloat16):

@@ -241,6 +241,31 @@ def jvp_fields(
     return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
 
+def collapsed_decode(
+    model,
+    params,
+    tokens: jnp.ndarray,  # [T, D]
+    coords: jnp.ndarray,  # [N, 3] physical
+    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
+    fore_h: jnp.ndarray,  # [1]
+    coord_spec,
+) -> jnp.ndarray:
+    """Normalized primal decode [N, 6] via the collapsed v4 algebra.
+
+    Identical function (and gradients) to ``PhysicsNet.decode`` at ~2.3x
+    fewer matmul FLOPs -- the pure-decode hot path for inference sweeps,
+    RMSE evaluation, and the data-loss-only training branch.  The tangent
+    prep inside ``_kernel_inputs`` is unused here and dead-code-eliminated
+    by XLA under jit."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_xla_v4_primal, fuse_decode_weights)
+
+    weights, pe, _dpe, cd_pe = _kernel_inputs(
+        model, params, tokens, coords, coord_data, fore_h, coord_spec)
+    fw = fuse_decode_weights(weights)
+    return decode_xla_v4_primal(fw, pe, cd_pe, coord_data, model.compute_dtype)
+
+
 def pde_residual_losses(
     phys_fn: Callable[[jnp.ndarray], jnp.ndarray],
     coords: jnp.ndarray,  # [N, 3] physical (x m, y m, t s)

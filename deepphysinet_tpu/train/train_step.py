@@ -119,8 +119,8 @@ def _window_losses(
     evaluates those 20480 points twice (interface_physics.py:467 then :493).
     """
     from deepphysinet_tpu.physics.engine import (
-        FieldDerivatives, FIELD_KEYS, fused_kernel_fields, jvp_fields,
-        residual_losses_from_fields)
+        FieldDerivatives, FIELD_KEYS, collapsed_decode, fused_kernel_fields,
+        jvp_fields, residual_losses_from_fields)
     from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 
     factors = cfg.factors()
@@ -182,6 +182,9 @@ def _window_losses(
             out[f"margin_{k}"] = v
     else:
         # --- data loss only (interface_physics.py:464-474) ---
+        # NOT collapsed_decode: its fwd is cheaper but its VJP measured
+        # slower here (3.14 vs 2.92 ms data-only step on v5e) -- the
+        # collapsed path is a forward-only win (inference/eval)
         pe = encode_coord(margin.x, margin.y, margin.t, cfg.coord_spec)
         pred = model.apply(params, tokens, pe, margin.nwp, fore_h,
                            method=PhysicsNet.decode)

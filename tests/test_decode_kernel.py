@@ -346,3 +346,59 @@ def test_fused_decode_v5_matches_twin(setup, rng):
                                  interpret=True, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(p5), np.asarray(p_ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(t5), np.asarray(t_ref), rtol=2e-3, atol=1e-6)
+
+
+class TestCollapsedPrimalDecode:
+    """collapsed_decode == PhysicsNet.decode (function AND gradients)."""
+
+    def _inputs(self, rng, n=48):
+        coords = jnp.asarray(
+            np.stack([rng.rand(n) * 27000 * 256, rng.rand(n) * 27000 * 144,
+                      rng.randint(0, 25, n) * 3600.0], -1), jnp.float32)
+        coord_data = jnp.asarray(rng.randn(n, 6) * 0.1, jnp.float32)
+        return coords, coord_data
+
+    def test_matches_model_decode(self, setup, rng):
+        from deepphysinet_tpu.physics.engine import collapsed_decode
+
+        model, params, tokens = setup
+        coords, coord_data = self._inputs(rng)
+        fore_h = jnp.array([0.1], jnp.float32)
+
+        pe = encode_coord(coords[:, 0], coords[:, 1], coords[:, 2], COORD)
+        ref = model.apply(params, tokens, pe, coord_data, fore_h,
+                          method=PhysicsNet.decode)
+        got = collapsed_decode(model, params, tokens, coords, coord_data,
+                               fore_h, COORD)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_gradients_match_model_decode(self, setup, rng):
+        from deepphysinet_tpu.physics.engine import collapsed_decode
+
+        model, params, tokens = setup
+        coords, coord_data = self._inputs(rng)
+        fore_h = jnp.array([0.1], jnp.float32)
+        labels = jnp.asarray(rng.randn(48, 6) * 0.1, jnp.float32)
+
+        def loss_ref(p):
+            pe = encode_coord(coords[:, 0], coords[:, 1], coords[:, 2], COORD)
+            out = model.apply(p, tokens, pe, coord_data, fore_h,
+                              method=PhysicsNet.decode)
+            return jnp.mean((out - labels) ** 2)
+
+        def loss_got(p):
+            out = collapsed_decode(model, p, tokens, coords, coord_data,
+                                   fore_h, COORD)
+            return jnp.mean((out - labels) ** 2)
+
+        g_ref = jax.grad(loss_ref)(params)
+        g_got = jax.grad(loss_got)(params)
+        fr = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_ref)])
+        fg = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_got)])
+        # f32 matmul-reassociation noise bounds this (same standard as
+        # test_jvp_engine_gradients_match_linearize); exact in float64
+        cos = float(jnp.vdot(fr, fg) / (jnp.linalg.norm(fr) * jnp.linalg.norm(fg)))
+        assert cos > 0.999, cos
+        np.testing.assert_allclose(float(jnp.linalg.norm(fg)),
+                                   float(jnp.linalg.norm(fr)), rtol=1e-2)
