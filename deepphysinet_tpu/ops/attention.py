@@ -171,14 +171,24 @@ def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: floa
 # single-tile fused kernel (whose L x L scores must fit VMEM)
 _FLASH_THRESHOLD = 1024
 
+# at or below this length the auto dispatch stays on plain XLA attention:
+# kernel launch overhead dominates tiny sequences (measured at the flagship's
+# 287 tokens on v5e: xla fwd+bwd 0.95 ms vs pallas 1.18 / flash 1.31; the
+# crossover above 287 is unswept -- 512 is a conservative cut)
+_XLA_SEQ_THRESHOLD = 512
 
-def default_impl() -> str:
-    return "pallas" if (_HAS_PLTPU and jax.default_backend() == "tpu") else "xla"
+
+def default_impl(seq_len: Optional[int] = None) -> str:
+    if not (_HAS_PLTPU and jax.default_backend() == "tpu"):
+        return "xla"
+    if seq_len is not None and seq_len <= _XLA_SEQ_THRESHOLD:
+        return "xla"
+    return "pallas"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(q, k, v, scale: float, impl: Optional[str] = None):
-    impl = impl or default_impl()
+    impl = impl or default_impl(q.shape[1])
     if impl == "flash":
         return _attention_flash(q, k, v, scale)
     if impl == "pallas":

@@ -85,3 +85,16 @@ def test_pallas_impl_routes_long_sequences_to_flash(monkeypatch):
     q = jnp.zeros((1, 64, 2, 8))
     attn_mod.fused_attention(q, q, q, 0.5, "pallas")
     assert calls == {"tile": True}
+
+
+def test_auto_impl_prefers_xla_for_short_sequences(monkeypatch):
+    """Auto dispatch: tiny sequences stay on XLA attention (kernel launch
+    overhead dominates, measured at 287 tokens); long ones go Pallas."""
+    from deepphysinet_tpu.ops import attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_HAS_PLTPU", True)
+    monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+    assert attn_mod.default_impl(287) == "xla"
+    assert attn_mod.default_impl(attn_mod._XLA_SEQ_THRESHOLD) == "xla"
+    assert attn_mod.default_impl(attn_mod._XLA_SEQ_THRESHOLD + 1) == "pallas"
+    assert attn_mod.default_impl(None) == "pallas"
