@@ -62,8 +62,11 @@ def test_evaluate_rmse_perfect_model_is_zero(rng):
             return args[2]
 
     out = evaluate_rmse(FakeModel(), {}, cfg, FakeDataset(), points_per_window=n)
-    for k in ("rmse_u10", "rmse_t2", "rmse_pres"):
-        assert out[k] < 1e-4, out
+    # "zero" at f32: the prediction path rounds inside the jit, the label path
+    # outside, so allow each variable a few ulp of its physical scale
+    # (pres ~9e4 Pa -> ulp ~8e-3; 1e-4 absolute there was rounding luck)
+    for k, tol in (("rmse_u10", 1e-4), ("rmse_t2", 1e-3), ("rmse_pres", 0.05)):
+        assert out[k] < tol, out
 
 
 def test_evaluate_rmse_fullgrid_real_dataset(tmp_path_factory, rng):
