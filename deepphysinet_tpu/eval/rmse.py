@@ -1,14 +1,16 @@
 """ERA5-validation RMSE evaluation (T2m / U10 / V10 / PSFC / q2 / rho).
 
 The driver's accuracy target is ERA5-val RMSE parity on the surface variables
-(BASELINE.json).  Two evaluators, both decoding through the same path the
-trainer uses, one device fetch per window (tunnel-aware):
+(BASELINE.json).  Two evaluators, one device fetch per window (tunnel-aware):
 
 * ``evaluate_rmse_fullgrid`` -- the headline number: EVERY labeled grid point
   (label_lat_size x label_lon_size) at EVERY labeled hour of each window,
-  swept with an on-device lax.scan over hours.
+  swept with an on-device lax.scan over hours through the collapsed-algebra
+  primal decode (engine.collapsed_decode -- same function as the trainer's
+  decode, parity-tested, ~2.3x fewer matmul FLOPs).
 * ``evaluate_rmse`` -- fast subsampled estimate: per window it re-draws up to
-  ``points_per_window`` of the dataset's sampled margin points.
+  ``points_per_window`` of the dataset's sampled margin points through the
+  plain ``PhysicsNet.decode`` (duck-typed over anything with encode/decode).
 """
 
 from __future__ import annotations

@@ -82,49 +82,14 @@ def _summary_writer(log_path: str):
         return _Null()
 
 
-class _AsyncLogger:
-    """Run metric fetch + log writes off the training thread.
-
-    Device->host fetches through the axon tunnel cost seconds each; doing
-    them inline collapses end-to-end throughput from the compiled-step rate
-    (~85 fps) to ~10.  The worker only ever touches freshly-created output
-    arrays (never donated buffers), so it is safe against the train step's
-    buffer donation.  ``close()`` drains the queue (called before checkpoints
-    and at loop exit so logs are complete and ordered)."""
-
-    def __init__(self):
-        import queue
-        import threading
-
-        self._q: "queue.Queue" = queue.Queue(maxsize=4)
-        self._err = None
-
-        def run():
-            while True:
-                job = self._q.get()
-                if job is None:
-                    return
-                try:
-                    job()
-                except Exception as e:  # surface on the main thread
-                    if self._err is None:
-                        self._err = e
-
-        self._t = threading.Thread(target=run, daemon=True)
-        self._t.start()
-
-    def submit(self, job) -> None:
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
-        self._q.put(job)
-
-    def close(self) -> None:
-        self._q.put(None)
-        self._t.join()
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+# Metric fetch + log writes off the training thread: device->host fetches
+# through the axon tunnel cost seconds each; doing them inline collapses
+# end-to-end throughput from the compiled-step rate (~85 fps) to ~10. The
+# worker only ever touches freshly-created output arrays (never donated
+# buffers), so it is safe against the train step's buffer donation. close()
+# drains the queue (called before checkpoints / at loop exit so logs are
+# complete and ordered).
+from deepphysinet_tpu.utils.async_worker import AsyncWorker as _AsyncLogger
 
 
 @INTERFACES.register("InterfacePhysics")
@@ -155,18 +120,18 @@ class InterfacePhysics:
         self.sample_mode = str(tpu_cfg.get("sample_mode", "host"))
         self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
         # Engine default (docs/PERF.md, reference geometry): 'kernel' (fused
-        # Pallas forward+backward, 7.08 ms/step, 10K-soak convergence
-        # validated) on TPU; 'jvp' (analytic-tangent collapsed-algebra XLA
-        # path, 8.93 ms) elsewhere -- the kernel op falls back to the same
-        # math off-TPU anyway.  Both require mean_norm observation
-        # normalization; fall back to 'linearize' if any variable uses
-        # another scheme.
+        # Pallas forward+backward, 4.9 ms/step, soak-convergence validated)
+        # on TPU; 'jvp' (analytic-tangent collapsed-algebra XLA path,
+        # 8.9 ms) elsewhere -- the kernel op falls back to the same math
+        # off-TPU anyway.  Both require mean_norm observation normalization;
+        # fall back to 'linearize' if any variable uses another scheme.
         default_engine = "kernel" if jax.default_backend() == "tpu" else "jvp"
         for v in self.obs_norm_cfg.values():
             if v.get("use_norm", True) and str(
                 v.get("norm_type", "mean_norm")).lower() != "mean_norm":
                 default_engine = "linearize"
-        self.pde_engine = str(tpu_cfg.get("pde_engine", default_engine))
+        # explicit None means "auto", same as an absent key (and as attn_impl)
+        self.pde_engine = str(tpu_cfg.get("pde_engine") or default_engine)
 
         meta = {k: v for k, v in self.meta_cfg.items() if k not in ("name",)}
         net = {k: v for k, v in self.net_cfg.items() if k not in ("name",)}
@@ -358,109 +323,101 @@ class InterfacePhysics:
         valid_iter: Iterator = iter(valid_loader)
         steps_since_log = 0
         stop = False
-        for epoch in range(current_epoch, num_epoch):
-            if stop:
-                break
-            for batch_id, data in enumerate(train_loader):
-                with_pde = bool(tc.get("with_pde", True)) and global_step >= self.pde_start_step
-                global_step += 1
-                batch = self._shard(self._to_batch(data))
-                state, metrics = train_step(state, batch, with_pde)
-                steps_since_log += 1
-
-                if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
-                    m = self._fetch_metrics(metrics)
-                    fps = time_metric.get_fps(steps_since_log * batch_size)
-                    time_metric.reset()
-                    steps_since_log = 0
-                    fh = float(np.asarray(data["forecast_h"]).reshape(-1)[0])
-                    parts = [
-                        f"epoch:{epoch}/{num_epoch}", f"batch:{batch_id}/{len(train_loader)}",
-                        f"iter:{global_step}", f"train loss:{m['total_loss']:.6f}",
-                        f"margin_loss:{m['margin_loss']:.6f}", f"forecast:{int(fh):03d}h",
-                        f"grad:{m['grad_norm']:.3e}", f"fps:{fps:.3f}",
-                    ]
-                    line = ",".join(parts)
-                    print("=========training=========")
-                    print(line)
-                    log_fp.write(line + "\n")
-                    log_fp.flush()
-                    for k, v in m.items():
-                        summary.add_scalar(f"training/{k}", v, global_step)
-                    summary.add_scalar(f"training_f{int(fh):03d}/margin_loss",
-                                       m["margin_loss"], global_step)
-
-                    # ---- interleaved validation batch (:639-751) ----
-                    vdata = None
-                    if len(valid_loader) > 0:
-                        try:
-                            vdata = next(valid_iter)
-                        except StopIteration:
-                            valid_iter = iter(valid_loader)
-                            vdata = next(valid_iter)
-                    if vdata is not None:
-                        vbatch = self._to_batch(vdata)
-                        vm = self._fetch_metrics(eval_step(state.params, vbatch, with_pde))
-                        vline = f"valid loss:{vm['total_loss']:.6f},margin:{vm['margin_loss']:.6f}"
-                        print("=========validation=========")
-                        print(vline)
-                        log_fp.write(vline + "\n")
-                        for k, v in vm.items():
-                            summary.add_scalar(f"validation/{k}", v, global_step)
-
-                    if with_vis and vis_path:
-                        self._render_grid(state.params, train_dataset, data, cfg,
-                                          os.path.join(vis_path, "train_results"),
-                                          global_step, with_pde)
-
-                if preempted["flag"]:
-                    if async_ckpt is not None:
-                        async_ckpt.wait()  # pending saves land first
-                    print(f"preemption: saving checkpoint at step {global_step}")
-                    ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
-                                         params=state.params,
-                                         opt_state=state.opt_state,
-                                         prefix="physics", backend=self.ckpt_backend)
-                    stop = True
+        try:
+            for epoch in range(current_epoch, num_epoch):
+                if stop:
                     break
-                if max_steps and global_step >= max_steps:
-                    stop = True
-                    break
+                for batch_id, data in enumerate(train_loader):
+                    with_pde = bool(tc.get("with_pde", True)) and global_step >= self.pde_start_step
+                    global_step += 1
+                    batch = self._shard(self._to_batch(data))
+                    state, metrics = train_step(state, batch, with_pde)
+                    steps_since_log += 1
 
-            is_last = stop or epoch == num_epoch - 1
-            if epoch % save_step == 0 or is_last:
-                lr = schedule(epoch + 1)
-                set_learning_rate(state.opt_state, lr)
-                summary.add_scalar("learning_rate", lr, global_step)
-                meta_kwargs = dict(
-                    dx=self.dx, dy=self.dy, dt=self.dt,
-                    pred_x_span=self.dx * self.lon_size,
-                    pred_y_span=self.dy * self.lat_size,
-                    pred_t_span=pred_t_span,
-                    label_time_step=time_step,
-                    input_variable_cfg=self.variable_cfg,
-                    input_time_step=train_dataset.input_time_step,
-                    input_time_step_nums=train_dataset.input_time_step_nums,
-                    obs_norm_cfg=self.obs_norm_cfg,
-                    start_time=str(train_dataset.start_time),
-                    end_time=str(train_dataset.end_time),
-                )
-                if async_ckpt is not None and not is_last:
-                    async_ckpt.submit(
-                        checkpoint_path, epoch, global_step,
-                        params=state.params, opt_state=state.opt_state,
-                        prefix="physics", backend=self.ckpt_backend, **meta_kwargs)
-                else:  # final save: synchronous so return implies durable
-                    if async_ckpt is not None:
-                        async_ckpt.wait()
-                    ckpt.save_checkpoint(
-                        checkpoint_path, epoch, global_step,
-                        backend=self.ckpt_backend, params=state.params,
-                        opt_state=state.opt_state, prefix="physics", **meta_kwargs)
-        if async_ckpt is not None:
-            async_ckpt.close()  # drain in-flight saves
-        log_fp.close()
-        summary.close()
+                    if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
+                        m = self._fetch_metrics(metrics)
+                        fps = time_metric.get_fps(steps_since_log * batch_size)
+                        time_metric.reset()
+                        steps_since_log = 0
+                        fh = float(np.asarray(data["forecast_h"]).reshape(-1)[0])
+                        parts = [
+                            f"epoch:{epoch}/{num_epoch}", f"batch:{batch_id}/{len(train_loader)}",
+                            f"iter:{global_step}", f"train loss:{m['total_loss']:.6f}",
+                            f"margin_loss:{m['margin_loss']:.6f}", f"forecast:{int(fh):03d}h",
+                            f"grad:{m['grad_norm']:.3e}", f"fps:{fps:.3f}",
+                        ]
+                        line = ",".join(parts)
+                        print("=========training=========")
+                        print(line)
+                        log_fp.write(line + "\n")
+                        log_fp.flush()
+                        for k, v in m.items():
+                            summary.add_scalar(f"training/{k}", v, global_step)
+                        summary.add_scalar(f"training_f{int(fh):03d}/margin_loss",
+                                           m["margin_loss"], global_step)
+
+                        # ---- interleaved validation batch (:639-751) ----
+                        vdata = None
+                        if len(valid_loader) > 0:
+                            try:
+                                vdata = next(valid_iter)
+                            except StopIteration:
+                                valid_iter = iter(valid_loader)
+                                vdata = next(valid_iter)
+                        if vdata is not None:
+                            vbatch = self._to_batch(vdata)
+                            vm = self._fetch_metrics(eval_step(state.params, vbatch, with_pde))
+                            vline = f"valid loss:{vm['total_loss']:.6f},margin:{vm['margin_loss']:.6f}"
+                            print("=========validation=========")
+                            print(vline)
+                            log_fp.write(vline + "\n")
+                            for k, v in vm.items():
+                                summary.add_scalar(f"validation/{k}", v, global_step)
+
+                        if with_vis and vis_path:
+                            self._render_grid(state.params, train_dataset, data, cfg,
+                                              os.path.join(vis_path, "train_results"),
+                                              global_step, with_pde)
+
+                    if preempted["flag"]:
+                        self._preemption_save(async_ckpt, checkpoint_path, epoch,
+                                              global_step, state)
+                        stop = True
+                        break
+                    if max_steps and global_step >= max_steps:
+                        stop = True
+                        break
+
+                is_last = stop or epoch == num_epoch - 1
+                if epoch % save_step == 0 or is_last:
+                    lr = schedule(epoch + 1)
+                    set_learning_rate(state.opt_state, lr)
+                    summary.add_scalar("learning_rate", lr, global_step)
+                    meta_kwargs = dict(
+                        dx=self.dx, dy=self.dy, dt=self.dt,
+                        pred_x_span=self.dx * self.lon_size,
+                        pred_y_span=self.dy * self.lat_size,
+                        pred_t_span=pred_t_span,
+                        label_time_step=time_step,
+                        input_variable_cfg=self.variable_cfg,
+                        input_time_step=train_dataset.input_time_step,
+                        input_time_step_nums=train_dataset.input_time_step_nums,
+                        obs_norm_cfg=self.obs_norm_cfg,
+                        start_time=str(train_dataset.start_time),
+                        end_time=str(train_dataset.end_time),
+                    )
+                    self._epoch_save(async_ckpt, is_last, checkpoint_path, epoch,
+                                     global_step, state, meta_kwargs)
+            if async_ckpt is not None:
+                async_ckpt.close()  # drain in-flight saves
+            log_fp.close()
+            summary.close()
+        finally:
+            # never leak a mid-write checkpoint past an exception
+            if async_ckpt is not None:
+                async_ckpt.close_quietly()
+            log_fp.close()
+            summary.close()
         return state
 
     def run_train_interface_dist(self, **kwargs):
@@ -529,6 +486,42 @@ class InterfacePhysics:
             signal.signal(signal.SIGTERM, handler)
         except (ValueError, OSError):
             pass
+
+    @staticmethod
+    def _drain_async_ckpt(async_ckpt) -> None:
+        """Wait for in-flight async saves; a PRIOR save's failure is reported
+        but must never prevent the synchronous save that follows."""
+        if async_ckpt is None:
+            return
+        try:
+            async_ckpt.wait()
+        except Exception as e:
+            print(f"warning: an earlier async checkpoint save failed ({e}); "
+                  "proceeding with the synchronous save")
+
+    def _epoch_save(self, async_ckpt, is_last, checkpoint_path, epoch,
+                    global_step, state, meta_kwargs) -> None:
+        """Epoch-boundary checkpoint: async mid-run, synchronous for the
+        final epoch (returning implies a durable physics_latest)."""
+        if async_ckpt is not None and not is_last:
+            async_ckpt.submit(
+                checkpoint_path, epoch, global_step,
+                params=state.params, opt_state=state.opt_state,
+                prefix="physics", backend=self.ckpt_backend, **meta_kwargs)
+            return
+        self._drain_async_ckpt(async_ckpt)
+        ckpt.save_checkpoint(
+            checkpoint_path, epoch, global_step, backend=self.ckpt_backend,
+            params=state.params, opt_state=state.opt_state, prefix="physics",
+            **meta_kwargs)
+
+    def _preemption_save(self, async_ckpt, checkpoint_path, epoch,
+                         global_step, state) -> None:
+        self._drain_async_ckpt(async_ckpt)
+        print(f"preemption: saving checkpoint at step {global_step}")
+        ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
+                             params=state.params, opt_state=state.opt_state,
+                             prefix="physics", backend=self.ckpt_backend)
 
     def _run_train_device_sampling(
         self, train_dataset, valid_dataset, cfg, tx, schedule, state,
@@ -622,103 +615,95 @@ class InterfacePhysics:
             return cube
 
         stop = False
-        for epoch in range(current_epoch, num_epoch):
-            if stop:
-                break
-            for batch_id, data in enumerate(loader):
-                with_pde = bool(self.train_cfg.get("with_pde", True)) and \
-                    global_step >= self.pde_start_step
-                global_step += 1
-                cube = to_device_cube(data)
-                if data_sharding is not None:
-                    cube = CubeBatch(*(jax.device_put(x, data_sharding) for x in cube))
-                key, sub = jax.random.split(key)
-                state, metrics = step(state, cube, sub, with_pde)
-                steps_since_log += 1
-                if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
-                    fps = time_metric.get_fps(steps_since_log)
-                    time_metric.reset()
-                    steps_since_log = 0
-                    # dispatch validation here (params are donated next step);
-                    # fetch + writes happen on the logger thread
-                    vm_arrays = None
-                    if len(valid_dataset) > 0:
-                        vm_arrays = self._device_mode_validation(
-                            valid_dataset, cfg, state, with_pde, fetch=False)
-
-                    def log_job(metrics=metrics, vm_arrays=vm_arrays,
-                                epoch=epoch, global_step=global_step, fps=fps):
-                        m = self._fetch_metrics(metrics)
-                        line = (f"[device-sampled] epoch:{epoch}/{num_epoch},"
-                                f"iter:{global_step},"
-                                f"train loss:{m['total_loss']:.6f},"
-                                f"margin:{m['margin_loss']:.6f},"
-                                f"grad:{m['grad_norm']:.3e},fps:{fps:.3f}")
-                        print(line)
-                        log_fp.write(line + "\n")
-                        log_fp.flush()
-                        for k, v in m.items():
-                            summary.add_scalar(f"training/{k}", v, global_step)
-                        if vm_arrays is not None:
-                            # tolerate a transient fetch failure the same way
-                            # _device_mode_validation tolerates a bad batch: a
-                            # one-off tunnel error must not kill a long run
-                            try:
-                                vm = self._fetch_metrics(vm_arrays)
-                            except Exception as e:
-                                print(f"warning: validation metric fetch "
-                                      f"failed ({e}); skipping this log step")
-                                vm = None
-                            if vm is not None:
-                                log_fp.write(f"valid loss:{vm['total_loss']:.6f}\n")
-                                for k, v in vm.items():
-                                    summary.add_scalar(f"validation/{k}", v, global_step)
-
-                    async_log.submit(log_job)
-                if preempted["flag"]:
-                    async_log.close()
-                    async_log = _AsyncLogger()
-                    if async_ckpt is not None:
-                        async_ckpt.wait()  # pending saves land first
-                    print(f"preemption: saving checkpoint at step {global_step}")
-                    ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
-                                         params=state.params,
-                                         opt_state=state.opt_state,
-                                         prefix="physics", backend=self.ckpt_backend)
-                    stop = True
+        try:
+            for epoch in range(current_epoch, num_epoch):
+                if stop:
                     break
-                if max_steps and global_step >= max_steps:
-                    stop = True
-                    break
-            is_last = stop or epoch == num_epoch - 1
-            if epoch % save_step == 0 or is_last:
-                lr = schedule(epoch + 1)
-                set_learning_rate(state.opt_state, lr)
-                meta_kwargs = dict(
-                    dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,
-                    label_time_step=time_step,
-                    input_variable_cfg=self.variable_cfg,
-                    input_time_step=train_dataset.input_time_step,
-                    input_time_step_nums=train_dataset.input_time_step_nums,
-                    obs_norm_cfg=self.obs_norm_cfg,
-                )
-                if async_ckpt is not None and not is_last:
-                    async_ckpt.submit(
-                        checkpoint_path, epoch, global_step,
-                        params=state.params, opt_state=state.opt_state,
-                        prefix="physics", backend=self.ckpt_backend, **meta_kwargs)
-                else:  # final save: synchronous so return implies durable
-                    if async_ckpt is not None:
-                        async_ckpt.wait()
-                    ckpt.save_checkpoint(
-                        checkpoint_path, epoch, global_step,
-                        backend=self.ckpt_backend, params=state.params,
-                        opt_state=state.opt_state, prefix="physics", **meta_kwargs)
-        if async_ckpt is not None:
-            async_ckpt.close()  # drain in-flight saves
-        async_log.close()  # drain pending fetches before closing the sinks
-        log_fp.close()
-        summary.close()
+                for batch_id, data in enumerate(loader):
+                    with_pde = bool(self.train_cfg.get("with_pde", True)) and \
+                        global_step >= self.pde_start_step
+                    global_step += 1
+                    cube = to_device_cube(data)
+                    if data_sharding is not None:
+                        cube = CubeBatch(*(jax.device_put(x, data_sharding) for x in cube))
+                    key, sub = jax.random.split(key)
+                    state, metrics = step(state, cube, sub, with_pde)
+                    steps_since_log += 1
+                    if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
+                        fps = time_metric.get_fps(steps_since_log)
+                        time_metric.reset()
+                        steps_since_log = 0
+                        # dispatch validation here (params are donated next step);
+                        # fetch + writes happen on the logger thread
+                        vm_arrays = None
+                        if len(valid_dataset) > 0:
+                            vm_arrays = self._device_mode_validation(
+                                valid_dataset, cfg, state, with_pde, fetch=False)
+
+                        def log_job(metrics=metrics, vm_arrays=vm_arrays,
+                                    epoch=epoch, global_step=global_step, fps=fps):
+                            m = self._fetch_metrics(metrics)
+                            line = (f"[device-sampled] epoch:{epoch}/{num_epoch},"
+                                    f"iter:{global_step},"
+                                    f"train loss:{m['total_loss']:.6f},"
+                                    f"margin:{m['margin_loss']:.6f},"
+                                    f"grad:{m['grad_norm']:.3e},fps:{fps:.3f}")
+                            print(line)
+                            log_fp.write(line + "\n")
+                            log_fp.flush()
+                            for k, v in m.items():
+                                summary.add_scalar(f"training/{k}", v, global_step)
+                            if vm_arrays is not None:
+                                # tolerate a transient fetch failure the same way
+                                # _device_mode_validation tolerates a bad batch: a
+                                # one-off tunnel error must not kill a long run
+                                try:
+                                    vm = self._fetch_metrics(vm_arrays)
+                                except Exception as e:
+                                    print(f"warning: validation metric fetch "
+                                          f"failed ({e}); skipping this log step")
+                                    vm = None
+                                if vm is not None:
+                                    log_fp.write(f"valid loss:{vm['total_loss']:.6f}\n")
+                                    for k, v in vm.items():
+                                        summary.add_scalar(f"validation/{k}", v, global_step)
+
+                        async_log.submit(log_job)
+                    if preempted["flag"]:
+                        async_log.wait()  # pending log fetches land first
+                        self._preemption_save(async_ckpt, checkpoint_path, epoch,
+                                              global_step, state)
+                        stop = True
+                        break
+                    if max_steps and global_step >= max_steps:
+                        stop = True
+                        break
+                is_last = stop or epoch == num_epoch - 1
+                if epoch % save_step == 0 or is_last:
+                    lr = schedule(epoch + 1)
+                    set_learning_rate(state.opt_state, lr)
+                    meta_kwargs = dict(
+                        dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,
+                        label_time_step=time_step,
+                        input_variable_cfg=self.variable_cfg,
+                        input_time_step=train_dataset.input_time_step,
+                        input_time_step_nums=train_dataset.input_time_step_nums,
+                        obs_norm_cfg=self.obs_norm_cfg,
+                    )
+                    self._epoch_save(async_ckpt, is_last, checkpoint_path, epoch,
+                                     global_step, state, meta_kwargs)
+            if async_ckpt is not None:
+                async_ckpt.close()  # drain in-flight saves
+            async_log.close()  # drain pending fetches before closing the sinks
+            log_fp.close()
+            summary.close()
+        finally:
+            # never leak a mid-write checkpoint or unsent logs past an exception
+            if async_ckpt is not None:
+                async_ckpt.close_quietly()
+            async_log.close_quietly()
+            log_fp.close()
+            summary.close()
         return state
 
     def _restore_state(self, state: TrainState, state_dict: dict, tx) -> TrainState:

@@ -693,8 +693,9 @@ def decode_xla_v4_primal(
     The cheap pure-decode path (same per-point algebra as decode_jvp_xla_v4
     minus the tangent chains): ~2.3x fewer matmul FLOPs than
     ``PhysicsNet.decode`` for the identical function of the same parameters.
-    Fully differentiable -- used by the data-loss-only training branch,
-    evaluation sweeps, and inference (engine.collapsed_decode)."""
+    Used FORWARD-ONLY -- inference sweeps and the full-grid RMSE scan (via
+    engine.collapsed_decode); differentiable, but training's data-only branch
+    keeps the plain decode (this path's VJP measured slower, docs/PERF.md)."""
     cdt = compute_dtype
     f32 = jnp.float32
 

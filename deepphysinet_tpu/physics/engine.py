@@ -253,10 +253,12 @@ def collapsed_decode(
     """Normalized primal decode [N, 6] via the collapsed v4 algebra.
 
     Identical function (and gradients) to ``PhysicsNet.decode`` at ~2.3x
-    fewer matmul FLOPs -- the pure-decode hot path for inference sweeps,
-    RMSE evaluation, and the data-loss-only training branch.  The tangent
-    prep inside ``_kernel_inputs`` is unused here and dead-code-eliminated
-    by XLA under jit."""
+    fewer matmul FLOPs -- the pure-decode hot path for inference sweeps and
+    the full-grid RMSE scan (0.97 vs 1.21 ms per 37K-point frame on v5e).
+    Forward-only by policy: training's data-only branch keeps the plain
+    decode because this path's VJP measured slower (docs/PERF.md negative
+    results).  The tangent prep inside ``_kernel_inputs`` is unused here and
+    dead-code-eliminated by XLA under jit."""
     from deepphysinet_tpu.ops.decode_kernel import (
         decode_xla_v4_primal, fuse_decode_weights)
 

@@ -111,62 +111,40 @@ class AsyncCheckpointer:
     measured to cut soak segments from ~125 to ~9 fps).  Here the caller
     thread only snapshots the trees as NEW device buffers (``jnp.copy``, so
     the train step's buffer donation cannot invalidate them); a worker
-    thread pays the fetch + serialization.  The queue holds one outstanding
-    save: submitting while one is in flight blocks until it lands, keeping
-    snapshot memory bounded.  ``close()`` drains pending saves and re-raises
-    any worker error (call before preemption/final synchronous saves)."""
+    thread (utils/async_worker.py) pays the fetch + serialization.  At most
+    ONE snapshot exists at a time: ``submit`` drains any in-flight save
+    BEFORE copying, so saves requested faster than they complete degrade to
+    synchronous rather than stacking snapshots on the device.  ``close()``
+    drains pending saves and re-raises any worker error; preemption/final
+    synchronous saves should catch that error and save anyway."""
 
     def __init__(self):
-        import queue
-        import threading
+        from deepphysinet_tpu.utils.async_worker import AsyncWorker
 
-        self._q: "queue.Queue" = queue.Queue(maxsize=1)
-        self._err: Optional[BaseException] = None
-
-        def run():
-            while True:
-                job = self._q.get()
-                try:
-                    if job is None:
-                        return
-                    try:
-                        job()
-                    except Exception as e:
-                        if self._err is None:
-                            self._err = e
-                finally:
-                    self._q.task_done()
-
-        self._t = threading.Thread(target=run, daemon=True)
-        self._t.start()
-
-    def _raise(self) -> None:
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+        self._w = AsyncWorker(maxsize=1)
 
     def submit(self, checkpoint_path: str, epoch: int, global_step: int,
                params, opt_state=None, prefix: str = "physics",
                backend: str = "pickle", **metadata) -> None:
-        self._raise()
+        self._w.wait()  # <=1 snapshot alive: prior save's buffers released
         import jax.numpy as jnp
 
         params_c = jax.tree.map(jnp.copy, params)
         opt_c = (jax.tree.map(jnp.copy, opt_state)
                  if opt_state is not None else None)
-        self._q.put(lambda: save_checkpoint(
+        self._w.submit(lambda: save_checkpoint(
             checkpoint_path, epoch, global_step, params_c, opt_c,
             prefix=prefix, backend=backend, **metadata))
 
     def wait(self) -> None:
         """Block until every submitted save is durably on disk."""
-        self._q.join()
-        self._raise()
+        self._w.wait()
 
     def close(self) -> None:
-        self._q.put(None)
-        self._t.join()
-        self._raise()
+        self._w.close()
+
+    def close_quietly(self) -> None:
+        self._w.close_quietly()
 
 
 def load_checkpoint(

@@ -119,8 +119,8 @@ def _window_losses(
     evaluates those 20480 points twice (interface_physics.py:467 then :493).
     """
     from deepphysinet_tpu.physics.engine import (
-        FieldDerivatives, FIELD_KEYS, collapsed_decode, fused_kernel_fields,
-        jvp_fields, residual_losses_from_fields)
+        FieldDerivatives, FIELD_KEYS, fused_kernel_fields, jvp_fields,
+        residual_losses_from_fields)
     from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 
     factors = cfg.factors()

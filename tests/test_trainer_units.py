@@ -160,3 +160,53 @@ def test_checkpoint_backend_dispatch_and_fallback(tmp_path):
     assert gs == 20 and np.allclose(state["model"]["w"], params["w"])
     with pytest.raises(ValueError):
         ckpt.save_checkpoint(p2, epoch=2, global_step=20, params=params, backend="zip")
+
+
+def test_pde_engine_none_means_auto():
+    """An explicit pde_engine=None in the config (as README documents) must
+    resolve to the auto default, not the string 'None'."""
+    from tests.test_end_to_end import Config  # reuse imports
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ.setdefault("DPN_SMOKE_DATA", "/tmp/dpn_unit_smoke")
+    cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
+    conf = cfg["config"]
+    conf["train_cfg"].setdefault("tpu", {})["pde_engine"] = None
+
+    from deepphysinet_tpu.interface.build import builder_models
+
+    models = builder_models(**conf)
+    assert models.pde_engine in ("jvp", "kernel", "linearize")
+
+
+def test_drain_async_ckpt_tolerates_failed_prior_save(capsys):
+    """A latched async-save error must not prevent the synchronous
+    preemption/final save that follows (it is warned, not raised)."""
+    from deepphysinet_tpu.interface.interface_physics import InterfacePhysics
+
+    class FailingCkpt:
+        def wait(self):
+            raise OSError("disk full")
+
+    InterfacePhysics._drain_async_ckpt(FailingCkpt())  # must not raise
+    assert "async checkpoint save failed" in capsys.readouterr().out
+    InterfacePhysics._drain_async_ckpt(None)  # no-op
+
+
+def test_async_worker_close_idempotent_and_latch():
+    from deepphysinet_tpu.utils.async_worker import AsyncWorker
+    import pytest as _pytest
+
+    w = AsyncWorker()
+    w.submit(lambda: None)
+    w.wait()
+    w.close()
+    w.close()  # idempotent
+    w.close_quietly()
+
+    w2 = AsyncWorker()
+    w2.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
+    with _pytest.raises(ValueError):
+        w2.close()
+    w2.close_quietly()  # after the latch was consumed: silent
