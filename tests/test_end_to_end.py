@@ -146,3 +146,33 @@ def test_final_epoch_always_saved(tmp_path_factory):
     state, next_epoch, step = ckpt_mod.load_checkpoint(
         os.path.join(root, "checkpoints"))
     assert step == 6 and next_epoch == 3
+
+
+def test_run_test_interface_and_cli_test_mode(tmp_path_factory):
+    """run_test_interface reports full-grid RMSE, and `train.py --mode test`
+    dispatches to it (not to inference) and prints the JSON."""
+    import json
+    import subprocess
+    import sys
+
+    root = str(tmp_path_factory.mktemp("e2e_testmode"))
+    os.environ["DPN_SMOKE_DATA"] = root
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
+    models = builder_models(**cfg["config"])
+    models.run_train_interface(max_steps=2)
+
+    out = models.run_test_interface(max_windows=1)
+    assert out.get("full_grid") == 1.0
+    for k in ("rmse_t2", "rmse_u10", "rmse_pres"):
+        assert np.isfinite(out[k]) and out[k] >= 0, out
+
+    env = dict(os.environ, DPN_SMOKE_DATA=root, DPN_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(here, "train.py"),
+         "--config_file", os.path.join(here, "configs", "smoke_cpu_cfg.py"),
+         "--mode", "test"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cli_out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert cli_out.get("full_grid") == 1.0 and "rmse_t2" in cli_out

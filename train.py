@@ -43,7 +43,7 @@ def main() -> None:
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--mode", type=str, default=None,
-                        choices=[None, "train", "inference"], nargs="?")
+                        choices=[None, "train", "test", "inference"], nargs="?")
     args = parser.parse_args()
 
     from deepphysinet_tpu.config import Config
@@ -62,6 +62,11 @@ def main() -> None:
         run = models.run_train_interface_dist if args.dist else models.run_train_interface
         run(checkpoint_path=args.checkpoints_path, log_path=args.log_path,
             max_steps=args.max_steps)
+    elif mode == "test":
+        import json
+
+        out = models.run_test_interface(checkpoint_path=args.checkpoints_path)
+        print(json.dumps(out))
     else:
         models.run_inference_interface(checkpoint_path=args.checkpoints_path)
 
