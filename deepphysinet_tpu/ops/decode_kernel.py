@@ -1052,9 +1052,10 @@ def decode_bwd_kernel_v4(
         obias=jnp.sum(g_primal[:n], axis=0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_decode_jvp_v4_kbwd(fw, pe, dpe, cd_pe, ref,
-                             block_n=256, compute_dtype=jnp.bfloat16):
+                             block_n=256, compute_dtype=jnp.bfloat16,
+                             interpret=False):
     """v4 decode with Pallas kernels on BOTH passes (training hot path).
 
     Gradient contract: exact cotangents for the fused weights and ``ref``
@@ -1062,24 +1063,32 @@ def fused_decode_jvp_v4_kbwd(fw, pe, dpe, cd_pe, ref,
     engine those are data (coordinates / stop-gradient'd conditioning), so
     computing their [N, in_ch] cotangents would be pure waste.  Use
     ``fused_decode_jvp_trainable_v4`` if input gradients are ever needed.
+
+    ``interpret=True`` forces the REAL Pallas fwd+bwd kernels in interpret
+    mode on any backend (the multi-chip dryrun / CPU-mesh tests use this to
+    exercise the production code path without a TPU); otherwise off-TPU falls
+    back to the XLA twin.
     """
-    if _HAS_PLTPU and jax.default_backend() == "tpu":
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
         return fused_decode_jvp_v4(fw, pe, dpe, cd_pe, ref,
-                                   block_n=block_n, compute_dtype=compute_dtype)
+                                   block_n=block_n, compute_dtype=compute_dtype,
+                                   interpret=interpret)
     return decode_jvp_xla_v4(fw, pe, dpe, cd_pe, ref, compute_dtype)
 
 
-def _fused_v4_kbwd_fwd(fw, pe, dpe, cd_pe, ref, block_n, compute_dtype):
-    out = fused_decode_jvp_v4_kbwd(fw, pe, dpe, cd_pe, ref, block_n, compute_dtype)
+def _fused_v4_kbwd_fwd(fw, pe, dpe, cd_pe, ref, block_n, compute_dtype, interpret):
+    out = fused_decode_jvp_v4_kbwd(fw, pe, dpe, cd_pe, ref, block_n,
+                                   compute_dtype, interpret)
     return out, (fw, pe, dpe, cd_pe)
 
 
-def _fused_v4_kbwd_bwd(block_n, compute_dtype, res, g):
+def _fused_v4_kbwd_bwd(block_n, compute_dtype, interpret, res, g):
     fw, pe, dpe, cd_pe = res
     g_primal, g_tang = g
-    if _HAS_PLTPU and jax.default_backend() == "tpu":
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
         gfw = decode_bwd_kernel_v4(fw, pe, dpe, cd_pe, g_primal, g_tang,
-                                   block_n=block_n, compute_dtype=compute_dtype)
+                                   block_n=block_n, compute_dtype=compute_dtype,
+                                   interpret=interpret)
     else:
         # CPU fallback: the twin's VJP, projected onto the weight cotangents
         zeros_ref = jnp.zeros_like(g_primal)

@@ -1,12 +1,26 @@
-"""Sharded (multi-chip) training step.
+"""Sharded (multi-chip) training step via explicit ``jax.shard_map``.
 
-GSPMD-style: the step body is identical to the single-chip one
-(train/train_step.py); parallelism comes entirely from sharding annotations.
-Parameters and optimizer state are replicated across the mesh; the Batch
-shards its window axis over ``data`` and its point axis over ``points``
-(parallel/mesh.py).  XLA then inserts the gradient psum over ICI -- the
-TPU-native replacement for the reference's DDP/NCCL all-reduce
-(interface_physics.py:903-907, 1056).
+The step body is the same make_loss_fn/apply_gradient_update pieces as the
+single-chip step (train/train_step.py); parallelism is an explicit SPMD
+program: every device runs the body on its LOCAL block of the Batch (windows
+sharded over ``data``, each window's points over ``points``), gradients and
+metric scalars are ``lax.pmean``'d over the whole mesh (the psum rides ICI --
+the TPU-native replacement for the reference's DDP/NCCL all-reduce,
+interface_physics.py:903-907, 1056), and every shard applies the identical
+optimizer update to its replicated parameter copy.
+
+Why shard_map and not GSPMD sharding annotations (the round-1/2 design): the
+production ``pde_engine='kernel'`` path runs ``pallas_call`` custom kernels
+inside the loss.  Under GSPMD a custom call has no partitioning rule, so the
+compiler must either fail or replicate it -- the per-device semantics were
+*accidental*.  Under shard_map the kernel simply runs on each device's local
+points block: the partitioning is defined by construction, for every engine
+('jvp', 'linearize', 'kernel').
+
+Correctness requirement on the loss: every metric is a plain mean over the
+windows/points in the local block (see make_loss_fn), and shard_map guarantees
+equal block sizes, so pmean-of-local-means == global mean exactly (up to float
+reduction order).
 """
 
 from __future__ import annotations
@@ -20,7 +34,9 @@ from deepphysinet_tpu.train.train_step import (
     PointBatch,
     StepConfig,
     TrainState,
-    make_train_step_impl,
+    _variable_metrics,
+    apply_gradient_update,
+    make_loss_fn,
 )
 
 
@@ -34,44 +50,128 @@ def _batch_shardings_pytree(mesh: Mesh) -> Batch:
     )
 
 
-def make_sharded_train_step(model, tx, cfg: StepConfig, mesh: Mesh):
-    """jit the step with explicit shardings over ``mesh``."""
-    impl = make_train_step_impl(model, tx, cfg)
-    repl = NamedSharding(mesh, P())
-    state_sh = TrainState(step=repl, params=repl, opt_state=repl)
-    batch_sh = _batch_shardings_pytree(mesh)
-    return jax.jit(
-        impl,
-        static_argnames=("with_pde",),
-        in_shardings=(state_sh, batch_sh),
-        out_shardings=(state_sh, repl),
-        donate_argnums=(0,),
+def _point_pspecs(pb: PointBatch) -> PointBatch:
+    return PointBatch(
+        x=P("data", "points"),
+        y=P("data", "points"),
+        t=P("data", "points"),
+        f=P("data", "points", None),
+        nwp=P("data", "points", None),
+        labels=P("data", "points", None) if pb.labels is not None else None,
     )
+
+
+def batch_pspecs(batch: Batch) -> Batch:
+    """PartitionSpec pytree for a Batch (mirrors mesh.batch_sharding)."""
+    return Batch(
+        field=P("data", None, None),
+        forecast_h=P("data"),
+        margin=_point_pspecs(batch.margin),
+        inter=_point_pspecs(batch.inter),
+    )
+
+
+def make_sharded_train_step(model, tx, cfg: StepConfig, mesh: Mesh):
+    """shard_map'd step: ``step(state, batch, with_pde) -> (state, metrics)``.
+
+    ``batch`` arrives as global arrays (ideally already placed with
+    mesh.shard_batch so no resharding happens); state/metrics are replicated.
+    """
+    loss_fn = make_loss_fn(model, cfg)
+    axes = tuple(mesh.axis_names)
+
+    def step(state: TrainState, batch: Batch, with_pde: bool):
+        def body(state, local: Batch):
+            (_, (metrics, pred_norm)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, local, with_pde)
+            grads = jax.lax.pmean(grads, axes)
+            metrics = jax.lax.pmean(metrics, axes)
+            var_m = jax.lax.pmean(
+                _variable_metrics(pred_norm, local.margin.labels, cfg), axes)
+            new_state, metrics = apply_gradient_update(tx, cfg, state, grads, metrics)
+            metrics.update(var_m)
+            return new_state, metrics
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), batch_pspecs(batch)),
+            out_specs=(P(), P()),
+            # every shard computes identical replicated outputs by
+            # construction (pmean'd grads + replicated params); the static
+            # rep-checker cannot see through optax's update tree
+            check_vma=False,
+        )(state, batch)
+
+    return jax.jit(step, static_argnames=("with_pde",), donate_argnums=(0,))
+
+
+def make_sharded_eval_step(model, cfg: StepConfig, mesh: Mesh):
+    """Validation losses over the mesh (no update): every process/device
+    evaluates its local block, metric scalars pmean to global means.  The
+    multi-host trainer's interleaved validation runs through this (the
+    collective means ALL processes must call it; only rank 0 logs)."""
+    loss_fn = make_loss_fn(model, cfg)
+    axes = tuple(mesh.axis_names)
+
+    def eval_step(params, batch: Batch, with_pde: bool):
+        def body(params, local: Batch):
+            _, (metrics, pred_norm) = loss_fn(params, local, with_pde)
+            metrics.update(_variable_metrics(pred_norm, local.margin.labels, cfg))
+            return jax.lax.pmean(metrics, axes)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), batch_pspecs(batch)),
+            out_specs=P(),
+            check_vma=False,
+        )(params, batch)
+
+    return jax.jit(eval_step, static_argnames=("with_pde",))
 
 
 def make_sharded_device_sampling_step(model, tx, cfg: StepConfig, mesh: Mesh, scfg):
     """Mesh-sharded on-device-sampling step: one window per ``data`` slot.
 
-    Each device holds its window's cubes and samples its own fresh points
-    every step (per-window PRNG keys shard with the windows); parameters
-    replicate and the gradient psum rides ICI.  This is the production
-    configuration: host bandwidth per chip stays constant as the slice grows.
+    Each device holds its windows' cubes and samples its own fresh points
+    every step.  Per-window PRNG keys are drawn from the SAME global split
+    the single-controller step would make (split into B_global, each data
+    shard takes its slice by mesh position), so the sharded run is
+    step-for-step equivalent.  This is the production configuration: host
+    bandwidth per chip stays constant as the slice grows.
     """
-    from deepphysinet_tpu.train.device_sampling import (
-        CubeBatch, make_device_sampling_train_step)
+    from deepphysinet_tpu.train.device_sampling import CubeBatch, make_ds_loss_fn
 
-    inner = make_device_sampling_train_step(model, tx, cfg, scfg)
-    # re-jit the underlying function with shardings (inner is already jitted;
-    # grab its wrapped impl)
-    impl = inner.__wrapped__
-    repl = NamedSharding(mesh, P())
-    state_sh = TrainState(step=repl, params=repl, opt_state=repl)
-    data = NamedSharding(mesh, P("data"))
-    cube_sh = CubeBatch(field=data, forecast_h=data, nwp_cube=data, label_cube=data)
-    return jax.jit(
-        impl,
-        static_argnames=("with_pde",),
-        in_shardings=(state_sh, cube_sh, repl),  # PRNG key replicated; split per window in-jit
-        out_shardings=(state_sh, repl),
-        donate_argnums=(0,),
-    )
+    loss_fn = make_ds_loss_fn(model, cfg, scfg)
+    axes = tuple(mesh.axis_names)
+    n_data = mesh.shape["data"]
+
+    def step(state: TrainState, batch: CubeBatch, key, with_pde: bool):
+        def body(state, local: CubeBatch, key):
+            b_local = local.field.shape[0]
+            keys = jax.random.split(key, b_local * n_data)
+            keys = keys.reshape(n_data, b_local, *keys.shape[1:])
+            local_keys = keys[jax.lax.axis_index("data")]
+            (_, (metrics, pred_norm, labels)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, local, local_keys, with_pde)
+            grads = jax.lax.pmean(grads, axes)
+            metrics = jax.lax.pmean(metrics, axes)
+            var_m = jax.lax.pmean(_variable_metrics(pred_norm, labels, cfg), axes)
+            new_state, metrics = apply_gradient_update(tx, cfg, state, grads, metrics)
+            metrics.update(var_m)
+            return new_state, metrics
+
+        cube_specs = CubeBatch(field=P("data"), forecast_h=P("data"),
+                               nwp_cube=P("data"), label_cube=P("data"))
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), cube_specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state, batch, key)
+
+    return jax.jit(step, static_argnames=("with_pde",), donate_argnums=(0,))

@@ -195,7 +195,8 @@ def fused_kernel_fields(
         fw = fuse_decode_weights(weights)
         if trainable:
             primal, tang = fused_decode_jvp_v4_kbwd(
-                fw, pe, dpe, cd_pe, coord_data, 256, model.compute_dtype)
+                fw, pe, dpe, cd_pe, coord_data, 256, model.compute_dtype,
+                interpret)
         else:
             primal, tang = fused_decode_jvp_v4(fw, pe, dpe, cd_pe, coord_data,
                                                interpret=interpret,

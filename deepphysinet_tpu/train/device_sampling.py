@@ -135,13 +135,16 @@ def sample_window_points(
     return margin, inter
 
 
-def make_device_sampling_train_step(model, tx, cfg: StepConfig, scfg: SamplerConfig):
-    """train_step(state, cube_batch, key, with_pde) with on-device sampling."""
+def make_ds_loss_fn(model, cfg: StepConfig, scfg: SamplerConfig):
+    """``loss_fn(params, cube_batch, keys [B,...], with_pde)`` with on-device
+    sampling; ``keys`` are the per-window PRNG keys (caller splits them, so
+    the shard_mapped step can hand each data shard its slice of the SAME
+    global key sequence the single-controller step would draw)."""
+    from deepphysinet_tpu.models.physics_net import PhysicsNet
+
     pred_loss_fn = build_loss(cfg.prediction_loss, beta=cfg.prediction_beta)
 
-    def loss_fn(params, batch: CubeBatch, key, with_pde: bool):
-        from deepphysinet_tpu.models.physics_net import PhysicsNet
-
+    def loss_fn(params, batch: CubeBatch, keys, with_pde: bool):
         fh_norm = (batch.forecast_h / cfg.forecast_time_period)[:, None]
         tokens = model.apply(params, batch.field, fh_norm, method=PhysicsNet.encode)
 
@@ -153,8 +156,6 @@ def make_device_sampling_train_step(model, tx, cfg: StepConfig, scfg: SamplerCon
                 model, params, tokens_b, fh_b, margin, inter, cfg, with_pde, pred_loss_fn
             ) | {"_labels": margin.labels}
 
-        b = batch.field.shape[0]
-        keys = jax.random.split(key, b)
         per_window = jax.vmap(one_window)(
             tokens, fh_norm, batch.nwp_cube, batch.label_cube, keys
         )
@@ -167,27 +168,23 @@ def make_device_sampling_train_step(model, tx, cfg: StepConfig, scfg: SamplerCon
         metrics["total_loss"] = total
         return total, (metrics, pred_norm, labels)
 
+    return loss_fn
+
+
+def make_device_sampling_train_step(model, tx, cfg: StepConfig, scfg: SamplerConfig):
+    """train_step(state, cube_batch, key, with_pde) with on-device sampling."""
+    from deepphysinet_tpu.train.train_step import apply_gradient_update
+
+    loss_fn = make_ds_loss_fn(model, cfg, scfg)
+
     @functools.partial(jax.jit, static_argnames=("with_pde",), donate_argnums=(0,))
     def train_step(state: TrainState, batch: CubeBatch, key, with_pde: bool):
+        keys = jax.random.split(key, batch.field.shape[0])
         (_, (metrics, pred_norm, labels)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, batch, key, with_pde)
-        gnorm = optax.global_norm(grads)
-        metrics["grad_norm"] = gnorm
-        finite = jnp.isfinite(gnorm)
-        scale = jnp.where(
-            finite, jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6)), 0.0
-        )
-        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
-        grads = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        # non-finite batch -> keep the previous params and optimizer state
-        params = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
-                              params, state.params)
-        opt_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
-                                 opt_state, state.opt_state)
+        )(state.params, batch, keys, with_pde)
+        new_state, metrics = apply_gradient_update(tx, cfg, state, grads, metrics)
         metrics.update(_variable_metrics(pred_norm, labels, cfg))
-        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+        return new_state, metrics
 
     return train_step

@@ -88,6 +88,10 @@ class StepConfig:
     # 'kernel' = fused Pallas v4 forward + fused Pallas backward (the TPU
     #   trainer default: 4.96 ms/step with the shared margin primal)
     pde_engine: str = "jvp"
+    # run the Pallas kernels of the 'kernel' engine in interpret mode (pure
+    # XLA emulation) -- lets the multi-chip dryrun and CPU tests exercise the
+    # REAL kernel code path (grid, BlockSpecs, accumulation) without a TPU
+    kernel_interpret: bool = False
 
     def factors(self) -> Dict[str, float]:
         return dict(self.loss_factor)
@@ -139,6 +143,7 @@ def _window_losses(
             return fused_kernel_fields(
                 model, params, tokens, coords, pts.nwp, fore_h,
                 cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
+                interpret=cfg.kernel_interpret,
             )
         return jvp_fields(model, params, tokens, coords, pts.nwp, fore_h,
                           cfg.coord_spec, cfg.obs_specs, with_clip=True)
@@ -213,9 +218,14 @@ def _window_losses(
     return out
 
 
-def make_train_step_impl(model: PhysicsNet, tx: optax.GradientTransformation, cfg: StepConfig):
-    """The raw (unjitted) step body; jitted by make_train_step /
-    parallel.make_sharded_train_step with the desired shardings."""
+def make_loss_fn(model: PhysicsNet, cfg: StepConfig):
+    """``loss_fn(params, batch, with_pde) -> (total, (metrics, pred_norm))``.
+
+    All metric scalars are plain means over the windows/points present in
+    ``batch``; with equal-size shards, a cross-shard ``lax.pmean`` of these
+    therefore reproduces the global means exactly (relied on by the
+    shard_mapped step in parallel/sharding.py).
+    """
     pred_loss_fn = build_loss(cfg.prediction_loss, beta=cfg.prediction_beta)
 
     def loss_fn(params, batch: Batch, with_pde: bool):
@@ -237,32 +247,58 @@ def make_train_step_impl(model: PhysicsNet, tx: optax.GradientTransformation, cf
         metrics["total_loss"] = total
         return total, (metrics, pred_norm)
 
+    return loss_fn
+
+
+def apply_gradient_update(
+    tx: optax.GradientTransformation,
+    cfg: StepConfig,
+    state: TrainState,
+    grads,
+    metrics: Dict[str, jnp.ndarray],
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Grad-clip + optimizer update + non-finite guard (shared by the single-
+    device, device-sampling, and shard_mapped steps).
+
+    Clip at 2.5e7 (interface_physics.py:514); zero the update entirely on a
+    non-finite gradient so one bad batch cannot poison the parameters
+    (robustness the reference lacks -- loss factors span 1e-7..1e14).  Inside
+    a shard_map, ``grads`` must already be pmean'd so every shard applies the
+    identical update.
+    """
+    gnorm = optax.global_norm(grads)
+    metrics["grad_norm"] = gnorm
+    finite = jnp.isfinite(gnorm)
+    scale = jnp.where(
+        finite, jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6)), 0.0
+    )
+    metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+    grads = jax.tree.map(lambda g: g * scale, grads)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    # non-finite batch -> keep the previous params and optimizer state
+    params = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                          params, state.params)
+    opt_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                             opt_state, state.opt_state)
+    new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+    return new_state, metrics
+
+
+def make_train_step_impl(model: PhysicsNet, tx: optax.GradientTransformation, cfg: StepConfig):
+    """The raw (unjitted) single-controller step body; jitted by
+    make_train_step.  (The multi-chip path does NOT re-jit this with sharded
+    inputs -- parallel.make_sharded_train_step builds an explicit shard_map
+    from the same make_loss_fn/apply_gradient_update pieces.)"""
+    loss_fn = make_loss_fn(model, cfg)
+
     def train_step(state: TrainState, batch: Batch, with_pde: bool):
         (_, (metrics, pred_norm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, with_pde
         )
-        gnorm = optax.global_norm(grads)
-        metrics["grad_norm"] = gnorm
-        # clip at 2.5e7 (interface_physics.py:514); zero the update entirely on
-        # a non-finite gradient so one bad batch cannot poison the parameters
-        # (robustness the reference lacks -- loss factors span 1e-7..1e14)
-        finite = jnp.isfinite(gnorm)
-        scale = jnp.where(
-            finite, jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6)), 0.0
-        )
-        metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
-        grads = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        # non-finite batch -> keep the previous params and optimizer state
-        params = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
-                              params, state.params)
-        opt_state = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
-                                 opt_state, state.opt_state)
-
+        new_state, metrics = apply_gradient_update(tx, cfg, state, grads, metrics)
         # physical-unit per-variable MSE against labels (interface_physics.py:517-530)
         metrics.update(_variable_metrics(pred_norm, batch.margin.labels, cfg))
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, metrics
 
     return train_step
