@@ -175,9 +175,14 @@ def main() -> None:
 
     # (engine comparison at this geometry, docs/PERF.md: jvp 8.93 ms <
     # linearize 9.24 ms < kernel-trainable 11.2 ms; training defaults to jvp)
+    # reps tag: step_reps=1 means the step_time is a SINGLE differenced slope
+    # (slow-fetch day) -- low confidence, don't mix into PERF history as an
+    # equal of median-of-3 measurements
     print(f"context: train_step({step_cfg.pde_engine})={step_time*1e3:.2f} ms "
+          f"[reps={step_reps}] "
           f"({train_evals/1e6:.2f}M pts/s incl. grad+Adam); "
-          f"residual_eval={eval_time*1e3:.2f} ms @ {n_eval} pts",
+          f"residual_eval={eval_time*1e3:.2f} ms [reps={eval_reps}] "
+          f"@ {n_eval} pts",
           file=sys.stderr)
 
     baseline = 1.0e7  # BASELINE.json target: >=10M evals/s/chip on v5e

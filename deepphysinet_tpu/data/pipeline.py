@@ -28,7 +28,16 @@ class PrefetchLoader:
         num_workers: int = 2,
         prefetch: int = 2,
         seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_id``/``num_shards``: multi-host DistributedSampler
+        semantics (reference interface_physics.py:936).  Every process
+        shuffles the GLOBAL index space with the same seed, then process p
+        iterates the strided slice ``order[p::num_shards]`` -- so the union
+        of all processes' k-th local batches is exactly the k-th global batch
+        a single process would draw (same windows, permuted rows; all losses
+        are row-permutation-invariant means)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,9 +45,17 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} outside [0, {num_shards})")
+        self.shard_id = shard_id
+        self.num_shards = num_shards
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        # with sharding, every process sees exactly n // num_shards items
+        # (the order is truncated to a multiple of num_shards before
+        # striding) -- equal lengths keep multi-host loops in lockstep,
+        # which collective steps require
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -61,6 +78,9 @@ class PrefetchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[: len(order) // self.num_shards * self.num_shards]
+            order = order[self.shard_id :: self.num_shards]
         batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order) - (self.batch_size - 1 if self.drop_last else 0), self.batch_size)

@@ -191,8 +191,15 @@ class InterfacePhysics:
 
     @staticmethod
     def _fetch_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, float]:
-        """ONE device->host transfer for all scalars (tunnel-aware)."""
+        """ONE device->host transfer for all scalars (tunnel-aware).
+
+        Multi-process: the pack (a device computation) cannot be issued by
+        one controller alone, so each scalar is read directly -- a LOCAL
+        fetch of the replicated output's addressable shard, safe to call on
+        any subset of ranks."""
         keys = sorted(metrics.keys())
+        if jax.process_count() > 1:
+            return {k: float(np.asarray(metrics[k])) for k in keys}
         packed = jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
         vals = np.asarray(jax.device_get(packed))
         return {k: float(v) for k, v in zip(keys, vals)}
@@ -247,9 +254,11 @@ class InterfacePhysics:
         tx = build_optimizer(**opt_cfg)
 
         # mesh first: the dist path needs one window per `data` slot, so the
-        # loader batch must equal batch_size * mesh.data (DDP gives each rank
-        # its own window; here one process feeds the whole mesh)
+        # GLOBAL loader batch must equal batch_size * mesh.data (DDP gives
+        # each rank its own window; reference interface_physics.py:899-936)
         mesh = None
+        nproc, rank = jax.process_count(), jax.process_index()
+        self.is_main = is_main = rank == 0
         if dist and len(jax.devices()) > 1:
             from deepphysinet_tpu.parallel.mesh import MeshConfig, make_mesh
 
@@ -257,13 +266,29 @@ class InterfacePhysics:
             mesh = make_mesh(MeshConfig(**mesh_cfg) if mesh_cfg else MeshConfig())
             batch_size = batch_size * mesh.shape["data"]
             print(f"mesh: {dict(mesh.shape)}; effective window batch: {batch_size}")
+        if nproc > 1 and mesh is None:
+            raise RuntimeError(
+                "multi-process jax without the dist path: call "
+                "run_train_interface_dist (the mesh must span all hosts)")
 
+        # per-process loader: each host loads only its stride of the globally
+        # shuffled window order (DistributedSampler equivalent, reference
+        # :936) and contributes batch_size/nproc rows of every global batch
+        if batch_size % nproc != 0:
+            raise ValueError(
+                f"global window batch {batch_size} not divisible by "
+                f"{nproc} processes")
+        local_batch = batch_size // nproc
         train_loader = PrefetchLoader(
-            train_dataset, batch_size, shuffle=True, drop_last=True, num_workers=num_workers
+            train_dataset, local_batch, shuffle=True, drop_last=True,
+            num_workers=num_workers, shard_id=rank, num_shards=nproc,
         )
-        # validation runs through the unsharded eval step; keep the config batch
+        # validation: through the mesh-sharded eval step when a mesh exists
+        # (global batch = the scaled window batch), unsharded otherwise
+        valid_batch = (batch_size if mesh is not None else tc["batch_size"])
         valid_loader = PrefetchLoader(
-            valid_dataset, tc["batch_size"], shuffle=True, drop_last=True, num_workers=1
+            valid_dataset, valid_batch // nproc, shuffle=True, drop_last=True,
+            num_workers=1, shard_id=rank, num_shards=nproc,
         )
 
         # ---- state init / resume ----
@@ -288,15 +313,24 @@ class InterfacePhysics:
 
         # ---- compiled steps ----
         if mesh is not None:
-            from deepphysinet_tpu.parallel.mesh import shard_batch
-            from deepphysinet_tpu.parallel.sharding import make_sharded_train_step
+            from deepphysinet_tpu.parallel.mesh import (
+                globalize_replicated, shard_batch)
+            from deepphysinet_tpu.parallel.sharding import (
+                make_sharded_eval_step, make_sharded_train_step)
 
             train_step = make_sharded_train_step(self.physics_net, tx, cfg, mesh)
             self._shard = lambda b: shard_batch(b, mesh)
+            eval_step = make_sharded_eval_step(self.physics_net, cfg, mesh)
+            self._shard_valid = self._shard
+            if nproc > 1:
+                # replicate the (identically-seeded / identically-restored)
+                # state across all hosts' devices
+                state = globalize_replicated(state, mesh)
         else:
             train_step = make_train_step(self.physics_net, tx, cfg)
             self._shard = lambda b: b
-        eval_step = make_eval_step(self.physics_net, cfg)
+            eval_step = make_eval_step(self.physics_net, cfg)
+            self._shard_valid = lambda b: b
 
         if with_vis:
             from deepphysinet_tpu.utils.vis import VisUtils
@@ -315,14 +349,32 @@ class InterfacePhysics:
         # physics_latest (the reference can only resume from epoch boundaries).
         preempted = {"flag": False}
         self._install_preemption_handler(preempted)
-        # epoch saves off the loop thread (same policy as the device loop)
+        # epoch saves off the loop thread (same policy as the device loop).
+        # Multi-process: synchronous rank-0 saves only -- the async snapshot
+        # (jnp.copy of global arrays) would be a device computation issued by
+        # one controller, which deadlocks a multi-controller program; the
+        # synchronous path reads the locally-addressable replicated shards.
         async_ckpt = (ckpt.AsyncCheckpointer()
                       if bool(tc.get("tpu", {}).get("async_ckpt", True))
-                      else None)
+                      and nproc == 1 else None)
 
+        meta_kwargs = dict(
+            dx=self.dx, dy=self.dy, dt=self.dt,
+            pred_x_span=self.dx * self.lon_size,
+            pred_y_span=self.dy * self.lat_size,
+            pred_t_span=pred_t_span,
+            label_time_step=time_step,
+            input_variable_cfg=self.variable_cfg,
+            input_time_step=train_dataset.input_time_step,
+            input_time_step_nums=train_dataset.input_time_step_nums,
+            obs_norm_cfg=self.obs_norm_cfg,
+            start_time=str(train_dataset.start_time),
+            end_time=str(train_dataset.end_time),
+        )
         valid_iter: Iterator = iter(valid_loader)
         steps_since_log = 0
         stop = False
+        preemption_saved = False
         try:
             for epoch in range(current_epoch, num_epoch):
                 if stop:
@@ -335,28 +387,34 @@ class InterfacePhysics:
                     steps_since_log += 1
 
                     if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
-                        m = self._fetch_metrics(metrics)
                         fps = time_metric.get_fps(steps_since_log * batch_size)
                         time_metric.reset()
                         steps_since_log = 0
-                        fh = float(np.asarray(data["forecast_h"]).reshape(-1)[0])
-                        parts = [
-                            f"epoch:{epoch}/{num_epoch}", f"batch:{batch_id}/{len(train_loader)}",
-                            f"iter:{global_step}", f"train loss:{m['total_loss']:.6f}",
-                            f"margin_loss:{m['margin_loss']:.6f}", f"forecast:{int(fh):03d}h",
-                            f"grad:{m['grad_norm']:.3e}", f"fps:{fps:.3f}",
-                        ]
-                        line = ",".join(parts)
-                        print("=========training=========")
-                        print(line)
-                        log_fp.write(line + "\n")
-                        log_fp.flush()
-                        for k, v in m.items():
-                            summary.add_scalar(f"training/{k}", v, global_step)
-                        summary.add_scalar(f"training_f{int(fh):03d}/margin_loss",
-                                           m["margin_loss"], global_step)
+                        # host-side writes are rank-0-gated (reference
+                        # :877,962); the metric fetch is a local read of the
+                        # replicated outputs, so non-main ranks skip it
+                        if is_main:
+                            m = self._fetch_metrics(metrics)
+                            fh = float(np.asarray(data["forecast_h"]).reshape(-1)[0])
+                            parts = [
+                                f"epoch:{epoch}/{num_epoch}", f"batch:{batch_id}/{len(train_loader)}",
+                                f"iter:{global_step}", f"train loss:{m['total_loss']:.6f}",
+                                f"margin_loss:{m['margin_loss']:.6f}", f"forecast:{int(fh):03d}h",
+                                f"grad:{m['grad_norm']:.3e}", f"fps:{fps:.3f}",
+                            ]
+                            line = ",".join(parts)
+                            print("=========training=========")
+                            print(line)
+                            log_fp.write(line + "\n")
+                            log_fp.flush()
+                            for k, v in m.items():
+                                summary.add_scalar(f"training/{k}", v, global_step)
+                            summary.add_scalar(f"training_f{int(fh):03d}/margin_loss",
+                                               m["margin_loss"], global_step)
 
                         # ---- interleaved validation batch (:639-751) ----
+                        # EVERY process participates (the sharded eval is a
+                        # collective over the global mesh); only rank 0 logs
                         vdata = None
                         if len(valid_loader) > 0:
                             try:
@@ -365,23 +423,27 @@ class InterfacePhysics:
                                 valid_iter = iter(valid_loader)
                                 vdata = next(valid_iter)
                         if vdata is not None:
-                            vbatch = self._to_batch(vdata)
-                            vm = self._fetch_metrics(eval_step(state.params, vbatch, with_pde))
-                            vline = f"valid loss:{vm['total_loss']:.6f},margin:{vm['margin_loss']:.6f}"
-                            print("=========validation=========")
-                            print(vline)
-                            log_fp.write(vline + "\n")
-                            for k, v in vm.items():
-                                summary.add_scalar(f"validation/{k}", v, global_step)
+                            vbatch = self._shard_valid(self._to_batch(vdata))
+                            vmetrics = eval_step(state.params, vbatch, with_pde)
+                            if is_main:
+                                vm = self._fetch_metrics(vmetrics)
+                                vline = f"valid loss:{vm['total_loss']:.6f},margin:{vm['margin_loss']:.6f}"
+                                print("=========validation=========")
+                                print(vline)
+                                log_fp.write(vline + "\n")
+                                for k, v in vm.items():
+                                    summary.add_scalar(f"validation/{k}", v, global_step)
 
-                        if with_vis and vis_path:
+                        if with_vis and vis_path and nproc == 1:
                             self._render_grid(state.params, train_dataset, data, cfg,
                                               os.path.join(vis_path, "train_results"),
                                               global_step, with_pde)
 
                     if preempted["flag"]:
-                        self._preemption_save(async_ckpt, checkpoint_path, epoch,
-                                              global_step, state)
+                        if is_main:
+                            self._preemption_save(async_ckpt, checkpoint_path, epoch,
+                                                  global_step, state, **meta_kwargs)
+                        preemption_saved = True
                         stop = True
                         break
                     if max_steps and global_step >= max_steps:
@@ -389,25 +451,15 @@ class InterfacePhysics:
                         break
 
                 is_last = stop or epoch == num_epoch - 1
-                if epoch % save_step == 0 or is_last:
+                if (epoch % save_step == 0 or is_last) and not preemption_saved:
+                    # LR update runs on EVERY process (it feeds the next
+                    # compiled steps); writes/saves are rank-0 only
                     lr = schedule(epoch + 1)
                     set_learning_rate(state.opt_state, lr)
-                    summary.add_scalar("learning_rate", lr, global_step)
-                    meta_kwargs = dict(
-                        dx=self.dx, dy=self.dy, dt=self.dt,
-                        pred_x_span=self.dx * self.lon_size,
-                        pred_y_span=self.dy * self.lat_size,
-                        pred_t_span=pred_t_span,
-                        label_time_step=time_step,
-                        input_variable_cfg=self.variable_cfg,
-                        input_time_step=train_dataset.input_time_step,
-                        input_time_step_nums=train_dataset.input_time_step_nums,
-                        obs_norm_cfg=self.obs_norm_cfg,
-                        start_time=str(train_dataset.start_time),
-                        end_time=str(train_dataset.end_time),
-                    )
-                    self._epoch_save(async_ckpt, is_last, checkpoint_path, epoch,
-                                     global_step, state, meta_kwargs)
+                    if is_main:
+                        summary.add_scalar("learning_rate", lr, global_step)
+                        self._epoch_save(async_ckpt, is_last, checkpoint_path,
+                                         epoch, global_step, state, meta_kwargs)
             if async_ckpt is not None:
                 async_ckpt.close()  # drain in-flight saves
             log_fp.close()
@@ -421,7 +473,21 @@ class InterfacePhysics:
         return state
 
     def run_train_interface_dist(self, **kwargs):
-        """Mesh data-parallel training (replaces the reference's DDP path)."""
+        """Mesh data-parallel training (replaces the reference's DDP path,
+        interface_physics.py:848-1404).
+
+        Single host: the mesh spans the local chips.  Multi-host: launch one
+        process per host with the jax.distributed env set (or call
+        parallel.multihost.initialize_distributed first, as train.py --dist
+        does); each process then loads its stride of the window order,
+        contributes its local batch rows to the global mesh, and rank 0 owns
+        logging/checkpointing.  Note: jax.distributed must initialize before
+        the first backend touch, so a launcher should init BEFORE building
+        the interface -- the call here only covers the already-initialized
+        and single-host cases."""
+        from deepphysinet_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()
         return self.run_train_interface(dist=True, **kwargs)
 
     _MAX_CONSECUTIVE_VALID_FAILURES = 3
@@ -516,12 +582,19 @@ class InterfacePhysics:
             **meta_kwargs)
 
     def _preemption_save(self, async_ckpt, checkpoint_path, epoch,
-                         global_step, state) -> None:
+                         global_step, state, **meta_kwargs) -> None:
+        """Single synchronous save inside the SIGTERM grace window.
+
+        Carries the full metadata bundle so the epoch-boundary save that
+        would otherwise follow can be skipped -- a second ~10 s tunneled
+        save inside the grace window risked being killed mid-write and
+        briefly left a metadata-less physics_latest."""
         self._drain_async_ckpt(async_ckpt)
         print(f"preemption: saving checkpoint at step {global_step}")
         ckpt.save_checkpoint(checkpoint_path, epoch, global_step,
                              params=state.params, opt_state=state.opt_state,
-                             prefix="physics", backend=self.ckpt_backend)
+                             prefix="physics", backend=self.ckpt_backend,
+                             **meta_kwargs)
 
     def _run_train_device_sampling(
         self, train_dataset, valid_dataset, cfg, tx, schedule, state,
@@ -550,14 +623,23 @@ class InterfacePhysics:
             fine_step=float(train_dataset.out_lon[1] - train_dataset.out_lon[0]),
             coarse_step=float(train_dataset.in_lon[1] - train_dataset.in_lon[0]),
         )
+        nproc, rank = jax.process_count(), jax.process_index()
+        is_main = rank == 0
         if mesh is not None:
+            from deepphysinet_tpu.parallel.mesh import globalize_replicated
             from deepphysinet_tpu.parallel.sharding import (
                 make_sharded_device_sampling_step)
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
             step = make_sharded_device_sampling_step(self.physics_net, tx, cfg, mesh, scfg)
             data_sharding = NamedSharding(mesh, _P("data"))
-            loader_batch = mesh.shape["data"]
+            if mesh.shape["data"] % nproc != 0:
+                raise ValueError(
+                    f"mesh data axis {mesh.shape['data']} not divisible by "
+                    f"{nproc} processes")
+            loader_batch = mesh.shape["data"] // nproc  # windows per process
+            if nproc > 1:
+                state = globalize_replicated(state, mesh)
         else:
             step = make_device_sampling_train_step(self.physics_net, tx, cfg, scfg)
             data_sharding = None
@@ -573,7 +655,7 @@ class InterfacePhysics:
         # after a drain
         async_ckpt = (ckpt.AsyncCheckpointer()
                       if bool(self.train_cfg.get("tpu", {}).get(
-                          "async_ckpt", True)) else None)
+                          "async_ckpt", True)) and nproc == 1 else None)
 
         class _CubeView:
             def __init__(self, ds):
@@ -588,7 +670,8 @@ class InterfacePhysics:
         from deepphysinet_tpu.data.pipeline import PrefetchLoader
 
         loader = PrefetchLoader(_CubeView(train_dataset), batch_size=loader_batch,
-                                shuffle=True, drop_last=True, num_workers=2)
+                                shuffle=True, drop_last=True, num_workers=2,
+                                shard_id=rank, num_shards=nproc)
 
         # Device-side window cache (LRU): a window's cubes transfer once and
         # are resampled on-device every visit (host->device through a tunnel
@@ -603,18 +686,37 @@ class InterfacePhysics:
             if key in cube_cache:
                 cube_cache.move_to_end(key)
                 return cube_cache[key]
-            cube = CubeBatch(
-                field=jnp.asarray(data["field_data"], jnp.float32),
-                forecast_h=jnp.asarray(data["forecast_h"], jnp.float32).reshape(-1),
-                nwp_cube=jnp.asarray(data["nwp_cube"], jnp.float32),
-                label_cube=jnp.asarray(data["label_cube"], jnp.float32),
-            )
+            if nproc > 1:
+                # keep on host: the globalizing put consumes process-local
+                # numpy (each process contributes its window rows)
+                cube = CubeBatch(
+                    field=np.asarray(data["field_data"], np.float32),
+                    forecast_h=np.asarray(data["forecast_h"], np.float32).reshape(-1),
+                    nwp_cube=np.asarray(data["nwp_cube"], np.float32),
+                    label_cube=np.asarray(data["label_cube"], np.float32),
+                )
+            else:
+                cube = CubeBatch(
+                    field=jnp.asarray(data["field_data"], jnp.float32),
+                    forecast_h=jnp.asarray(data["forecast_h"], jnp.float32).reshape(-1),
+                    nwp_cube=jnp.asarray(data["nwp_cube"], jnp.float32),
+                    label_cube=jnp.asarray(data["label_cube"], jnp.float32),
+                )
             cube_cache[key] = cube
             if len(cube_cache) > cache_cap:
                 cube_cache.popitem(last=False)
             return cube
 
+        meta_kwargs = dict(
+            dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,
+            label_time_step=time_step,
+            input_variable_cfg=self.variable_cfg,
+            input_time_step=train_dataset.input_time_step,
+            input_time_step_nums=train_dataset.input_time_step_nums,
+            obs_norm_cfg=self.obs_norm_cfg,
+        )
         stop = False
+        preemption_saved = False
         try:
             for epoch in range(current_epoch, num_epoch):
                 if stop:
@@ -625,24 +727,43 @@ class InterfacePhysics:
                     global_step += 1
                     cube = to_device_cube(data)
                     if data_sharding is not None:
-                        cube = CubeBatch(*(jax.device_put(x, data_sharding) for x in cube))
+                        from deepphysinet_tpu.parallel.mesh import put_sharded
+
+                        cube = CubeBatch(*(put_sharded(x, data_sharding) for x in cube))
                     key, sub = jax.random.split(key)
+                    if nproc > 1:
+                        # identical host value on every process -> the jit
+                        # promotes it to a replicated global array
+                        sub = np.asarray(sub)
                     state, metrics = step(state, cube, sub, with_pde)
                     steps_since_log += 1
-                    if global_step % log_step == 1 or (max_steps and global_step >= max_steps):
+                    if (global_step % log_step == 1
+                            or (max_steps and global_step >= max_steps)) and is_main:
                         fps = time_metric.get_fps(steps_since_log)
                         time_metric.reset()
                         steps_since_log = 0
                         # dispatch validation here (params are donated next step);
-                        # fetch + writes happen on the logger thread
+                        # fetch + writes happen on the logger thread.
+                        # Multi-process: the unsharded validation jit would be
+                        # a single-controller computation on global params --
+                        # skipped (use tools/evaluate.py on the saved ckpts)
                         vm_arrays = None
-                        if len(valid_dataset) > 0:
+                        if len(valid_dataset) > 0 and nproc == 1:
                             vm_arrays = self._device_mode_validation(
                                 valid_dataset, cfg, state, with_pde, fetch=False)
 
                         def log_job(metrics=metrics, vm_arrays=vm_arrays,
                                     epoch=epoch, global_step=global_step, fps=fps):
-                            m = self._fetch_metrics(metrics)
+                            # the WHOLE job is fetch-tolerant: a one-off tunnel
+                            # error on either the training- or validation-metric
+                            # fetch must not latch in AsyncWorker and kill a
+                            # long run at the next submit
+                            try:
+                                m = self._fetch_metrics(metrics)
+                            except Exception as e:
+                                print(f"warning: training metric fetch failed "
+                                      f"({e}); skipping this log step")
+                                return
                             line = (f"[device-sampled] epoch:{epoch}/{num_epoch},"
                                     f"iter:{global_step},"
                                     f"train loss:{m['total_loss']:.6f},"
@@ -654,9 +775,6 @@ class InterfacePhysics:
                             for k, v in m.items():
                                 summary.add_scalar(f"training/{k}", v, global_step)
                             if vm_arrays is not None:
-                                # tolerate a transient fetch failure the same way
-                                # _device_mode_validation tolerates a bad batch: a
-                                # one-off tunnel error must not kill a long run
                                 try:
                                     vm = self._fetch_metrics(vm_arrays)
                                 except Exception as e:
@@ -671,27 +789,22 @@ class InterfacePhysics:
                         async_log.submit(log_job)
                     if preempted["flag"]:
                         async_log.wait()  # pending log fetches land first
-                        self._preemption_save(async_ckpt, checkpoint_path, epoch,
-                                              global_step, state)
+                        if is_main:
+                            self._preemption_save(async_ckpt, checkpoint_path, epoch,
+                                                  global_step, state, **meta_kwargs)
+                        preemption_saved = True
                         stop = True
                         break
                     if max_steps and global_step >= max_steps:
                         stop = True
                         break
                 is_last = stop or epoch == num_epoch - 1
-                if epoch % save_step == 0 or is_last:
+                if (epoch % save_step == 0 or is_last) and not preemption_saved:
                     lr = schedule(epoch + 1)
                     set_learning_rate(state.opt_state, lr)
-                    meta_kwargs = dict(
-                        dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,
-                        label_time_step=time_step,
-                        input_variable_cfg=self.variable_cfg,
-                        input_time_step=train_dataset.input_time_step,
-                        input_time_step_nums=train_dataset.input_time_step_nums,
-                        obs_norm_cfg=self.obs_norm_cfg,
-                    )
-                    self._epoch_save(async_ckpt, is_last, checkpoint_path, epoch,
-                                     global_step, state, meta_kwargs)
+                    if is_main:
+                        self._epoch_save(async_ckpt, is_last, checkpoint_path,
+                                         epoch, global_step, state, meta_kwargs)
             if async_ckpt is not None:
                 async_ckpt.close()  # drain in-flight saves
             async_log.close()  # drain pending fetches before closing the sinks
@@ -714,13 +827,17 @@ class InterfacePhysics:
         ``train_cfg.tpu.allow_partial_resume = True`` to instead reinitialize
         the Adam moments and continue from the parameters alone.
         """
-        params = jax.tree.map(jnp.asarray, state_dict["model"])
+        # host (numpy) leaves: UNCOMMITTED, so the next step's jit is free to
+        # place them under any topology -- a checkpoint written under an
+        # 8-chip mesh resumes single-chip and vice versa (orbax restores
+        # committed device arrays, which would conflict with sharded batches)
+        params = jax.tree.map(np.asarray, state_dict["model"])
         opt_state = state.opt_state
         if state_dict.get("opt_state") is not None:
             try:
                 opt_state = jax.tree.unflatten(
                     jax.tree.structure(state.opt_state),
-                    [jnp.asarray(x) for x in jax.tree.leaves(state_dict["opt_state"])],
+                    [np.asarray(x) for x in jax.tree.leaves(state_dict["opt_state"])],
                 )
             except Exception as e:
                 allow = bool(dict(self.train_cfg.get("tpu", {})).get(

@@ -69,25 +69,52 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def put_sharded(x, sharding: NamedSharding):
+    """Place one array with ``sharding``, multi-process aware.
+
+    Single-controller: plain ``device_put``.  Multi-process (jax.distributed
+    initialized, the mesh spans all hosts' devices): this process contributes
+    its LOCAL block and the result is the global array -- the reference's
+    DDP each-rank-owns-its-batch semantics (interface_physics.py:899-900)
+    without any cross-host transfer.
+    """
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
+def globalize_replicated(tree, mesh: Mesh):
+    """Host-replicated values -> mesh-replicated (global) arrays.
+
+    Multi-process callers must pass IDENTICAL values on every process (e.g.
+    parameters initialized from the same seed, or a restored checkpoint).
+    """
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: put_sharded(x, repl), tree)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """device_put a train_step.Batch according to the mesh shardings."""
+    """Place a train_step.Batch according to the mesh shardings (global batch
+    single-controller; process-local window block multi-process)."""
     from deepphysinet_tpu.train.train_step import Batch, PointBatch
 
     sh = batch_sharding(mesh)
 
     def put_points(pb, spec) -> "PointBatch":
         return PointBatch(
-            x=jax.device_put(pb.x, spec["x"]),
-            y=jax.device_put(pb.y, spec["y"]),
-            t=jax.device_put(pb.t, spec["t"]),
-            f=jax.device_put(pb.f, spec["f"]),
-            nwp=jax.device_put(pb.nwp, spec["nwp"]),
-            labels=jax.device_put(pb.labels, spec["labels"]) if pb.labels is not None else None,
+            x=put_sharded(pb.x, spec["x"]),
+            y=put_sharded(pb.y, spec["y"]),
+            t=put_sharded(pb.t, spec["t"]),
+            f=put_sharded(pb.f, spec["f"]),
+            nwp=put_sharded(pb.nwp, spec["nwp"]),
+            labels=put_sharded(pb.labels, spec["labels"]) if pb.labels is not None else None,
         )
 
     return Batch(
-        field=jax.device_put(batch.field, sh["field"]),
-        forecast_h=jax.device_put(batch.forecast_h, sh["forecast_h"]),
+        field=put_sharded(batch.field, sh["field"]),
+        forecast_h=put_sharded(batch.forecast_h, sh["forecast_h"]),
         margin=put_points(batch.margin, sh["margin"]),
         inter=put_points(batch.inter, sh["inter"]),
     )

@@ -27,10 +27,38 @@ def initialize_distributed(
     """
     import jax
 
+    if jax.distributed.is_initialized():
+        return
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            # too late to join a multi-process job: the backend is latched
+            # (e.g. the interface was built first); proceed single-controller
+            if num_processes and num_processes > 1:
+                raise RuntimeError(
+                    "jax backend already initialized before "
+                    "initialize_distributed(num_processes>1); call it before "
+                    "building the interface (as train.py --dist does)")
+            return
+    except ImportError:  # pragma: no cover - private API moved
+        pass
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if num_processes is not None and num_processes <= 1:
         return
+    if num_processes is None and coordinator_address is None:
+        # no explicit args: only attempt auto-detection when the environment
+        # says this is a multi-process job (TPU pod / launcher env), so a
+        # plain single-host `--dist` run stays a no-op
+        hints = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                 "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+        if not any(h in os.environ for h in hints):
+            return
+        coordinator_address = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                               or os.environ.get("COORDINATOR_ADDRESS"))
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

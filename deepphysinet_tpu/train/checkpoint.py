@@ -43,10 +43,18 @@ def save_model(
         "gobal_step": global_step,  # [sic] key name kept for reference parity
     }
     payload.update(metadata)
+    # atomic writes: saves run on a background thread concurrent with training
+    # (and inside the preemption grace window) -- a hard kill mid-write must
+    # never leave a truncated pickle at either destination, so each file is
+    # written to a same-directory temp and os.replace()'d into place
     ckpt_file = os.path.join(checkpoint_path, f"{prefix}_{epoch}.ckpt")
-    with open(ckpt_file, "wb") as fp:
+    tmp = ckpt_file + ".tmp"
+    with open(tmp, "wb") as fp:
         pickle.dump(payload, fp, protocol=pickle.HIGHEST_PROTOCOL)
-    shutil.copy(ckpt_file, os.path.join(checkpoint_path, f"{prefix}_latest.ckpt"))
+    os.replace(tmp, ckpt_file)
+    latest = os.path.join(checkpoint_path, f"{prefix}_latest.ckpt")
+    shutil.copy(ckpt_file, latest + ".tmp")
+    os.replace(latest + ".tmp", latest)
     return ckpt_file
 
 
@@ -66,11 +74,37 @@ def load_model(
         print(f"warning:{model_file} does not exist!")
         return None, 0, 0
     print(f"start to resume from {model_file}")
-    with open(model_file, "rb") as fp:
-        state_dict = pickle.load(fp)
+    try:
+        with open(model_file, "rb") as fp:
+            state_dict = pickle.load(fp)
+    except Exception as e:  # corrupt file (e.g. pre-atomic-write legacy crash)
+        fallback = _newest_epoch_ckpt(os.path.dirname(model_file), prefix,
+                                      exclude=model_file)
+        if fallback is None:
+            raise
+        print(f"warning:{model_file} is corrupt ({e!r}); "
+              f"falling back to {fallback}")
+        with open(fallback, "rb") as fp:
+            state_dict = pickle.load(fp)
     global_step = state_dict.pop("gobal_step", 0)
     epoch = state_dict.pop("epoch", -1)
     return state_dict, epoch + 1, global_step
+
+
+def _newest_epoch_ckpt(ckpt_dir: str, prefix: str, exclude: str = ""):
+    """Highest-epoch ``{prefix}_{N}.ckpt`` in ``ckpt_dir`` (None if none)."""
+    import re
+
+    best, best_epoch = None, -1
+    if not os.path.isdir(ckpt_dir):
+        return None
+    pat = re.compile(rf"^{re.escape(prefix)}_(\d+)\.ckpt$")
+    for name in os.listdir(ckpt_dir):
+        m = pat.match(name)
+        path = os.path.join(ckpt_dir, name)
+        if m and path != exclude and int(m.group(1)) > best_epoch:
+            best, best_epoch = path, int(m.group(1))
+    return best
 
 
 def gather_key_from_state(key: str, state_dict: dict, default):

@@ -51,10 +51,13 @@ def build_optimizer(name: str = "Adam", **kwargs):
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in-place (trainer epoch boundary).
 
-    Cast to a float32 device scalar so the opt_state pytree's leaf dtype stays
-    stable and the compiled update is not re-traced.
+    Cast to a float32 HOST scalar so the opt_state pytree's leaf dtype stays
+    stable (no retrace) and the assignment works in multi-process programs:
+    a committed local device scalar inside an otherwise-global opt_state tree
+    would be rejected by the sharded jit, while an identical numpy value on
+    every process is auto-promoted to a replicated global array.
     """
-    import jax.numpy as jnp
+    import numpy as np
 
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    opt_state.hyperparams["learning_rate"] = np.asarray(lr, np.float32)
     return opt_state

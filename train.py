@@ -46,6 +46,14 @@ def main() -> None:
                         choices=[None, "train", "test", "inference"], nargs="?")
     args = parser.parse_args()
 
+    if args.dist:
+        # multi-host bring-up must precede the first jax backend touch
+        # (building the interface reads jax.default_backend); no-op unless
+        # the launcher env marks this a multi-process job
+        from deepphysinet_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()
+
     from deepphysinet_tpu.config import Config
     from deepphysinet_tpu.interface.build import builder_models
 
@@ -54,11 +62,14 @@ def main() -> None:
     models = builder_models(**cfg["config"])
 
     if mode == "train":
+        import jax
+
         checkpoint_path = args.checkpoints_path or \
             cfg["config"]["train_cfg"]["checkpoints"]["checkpoints_path"]
         os.makedirs(checkpoint_path, exist_ok=True)
-        zip_codes(os.path.dirname(os.path.abspath(__file__)),
-                  os.path.join(checkpoint_path, "codes.zip"))
+        if jax.process_index() == 0:
+            zip_codes(os.path.dirname(os.path.abspath(__file__)),
+                      os.path.join(checkpoint_path, "codes.zip"))
         run = models.run_train_interface_dist if args.dist else models.run_train_interface
         run(checkpoint_path=args.checkpoints_path, log_path=args.log_path,
             max_steps=args.max_steps)
