@@ -14,9 +14,14 @@ _ROOT = os.environ.get(
     "DPN_FULLSYNTH_DATA", os.path.join(tempfile.gettempdir(), "dpn_fullsynth_data")
 )
 
-if not os.path.exists(os.path.join(_ROOT, "input_map.pickle")):
+from deepphysinet_tpu.data.synthetic import synthetic_tree_is_current
+
+if not synthetic_tree_is_current(_ROOT):
+    import shutil
+
     from deepphysinet_tpu.data.synthetic import generate_synthetic_dataset
 
+    shutil.rmtree(_ROOT, ignore_errors=True)  # stale generator version
     generate_synthetic_dataset(_ROOT, n_init_times=4, bbox=(72.0, 18.0, 136.0, 54.0))
 
 mode = "train"
@@ -74,11 +79,11 @@ config = dict(
         v10=dict(name="v10", norm_factor=[-0.1, 4.0], norm_type="mean_norm", use_norm=True),
         q2=dict(name="q2", norm_factor=[0.0076, 0.003], norm_type="mean_norm", use_norm=True),
         rio=dict(name="rio", norm_factor=[1.09, 0.08], norm_type="mean_norm", use_norm=True),
-        GHT=dict(name="GHT", norm_factor=[[1400.0] * 5, [120.0] * 5], norm_type="mean_norm", use_norm=True),
-        TT=dict(name="TT", norm_factor=[[280.0] * 5, [9.0] * 5], norm_type="mean_norm", use_norm=True),
-        UU=dict(name="UU", norm_factor=[[3.0] * 5, [5.0] * 5], norm_type="mean_norm", use_norm=True),
-        VV=dict(name="VV", norm_factor=[[0.0] * 5, [5.0] * 5], norm_type="mean_norm", use_norm=True),
-        QQ=dict(name="QQ", norm_factor=[[0.006] * 5, [0.002] * 5], norm_type="mean_norm", use_norm=True),
+        GHT=dict(name="GHT", norm_factor=[[100.0, 770.0, 1478.0, 3067.0, 5699.0], [100.0] * 5], norm_type="mean_norm", use_norm=True),
+        TT=dict(name="TT", norm_factor=[[292.0, 288.0, 284.0, 275.0, 259.0], [6.0] * 5], norm_type="mean_norm", use_norm=True),
+        UU=dict(name="UU", norm_factor=[[0.4, 0.8, 1.9, 4.8, 10.1], [4.0] * 5], norm_type="mean_norm", use_norm=True),
+        VV=dict(name="VV", norm_factor=[[0.04, 0.18, 0.1, -0.42, -0.95], [4.0] * 5], norm_type="mean_norm", use_norm=True),
+        QQ=dict(name="QQ", norm_factor=[[0.009, 0.008, 0.006, 0.004, 0.002], [0.003, 0.0027, 0.002, 0.0013, 0.0006]], norm_type="mean_norm", use_norm=True),
     ),
     obs_norm_cfg=_OBS,
     train_cfg=dict(

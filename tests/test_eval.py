@@ -127,3 +127,64 @@ def test_evaluate_rmse_fullgrid_real_dataset(tmp_path_factory, rng):
                         points_per_window=512)
     # same model, same population: the exhaustive and sampled estimates agree
     assert 0.4 < out["rmse_t2"] / sub["rmse_t2"] < 2.5
+
+
+def test_evaluate_rmse_from_cubes_matches_host_path(tmp_path_factory, rng):
+    """The cube-based point draw (device-sampling mode's eval path) estimates
+    the same RMSE population as the host-margin path (round-2 VERDICT weak
+    #6: both sampling modes now share one evaluator)."""
+    import jax
+
+    from deepphysinet_tpu.data.dataset import PhysicsDataset
+    from deepphysinet_tpu.data.synthetic import generate_synthetic_dataset
+    from deepphysinet_tpu.models.physics_net import PhysicsNet
+    from deepphysinet_tpu.ops.coords import CoordSpec
+    from deepphysinet_tpu.ops.normalization import OBS_NAME_ORDER, norm_specs_from_cfg
+    from deepphysinet_tpu.train.train_step import StepConfig
+    from tests.test_dataset import OBS_CFG, VARIABLE_CFG
+    from tests.test_train_step import FACTORS
+
+    root = str(tmp_path_factory.mktemp("cube_eval"))
+    synth = generate_synthetic_dataset(root, n_init_times=2,
+                                       bbox=(72.0, 18.0, 88.0, 27.0))
+    h, w = synth["img_size"]
+    dataset = PhysicsDataset(
+        input_path=synth["input_path"], label_path=synth["label_path"],
+        input_data_map_cfg={"NCEP": synth["input_map_file"]},
+        start_time="2008-01-01_00_00_00", end_time="2008-01-10_00_00_00",
+        input_variable_cfg=VARIABLE_CFG, out_variable_cfg=OBS_CFG,
+        in_coord_file=synth["in_coord_file"], out_coord_file=synth["out_coord_file"],
+        constant_path=synth["constant_path"],
+        constant_variables=("landsea", "elevation", "lat", "lon"),
+        label_img_size=(h, w), dx=27000.0, dy=27000.0,
+        label_batch_size=512, inter_batch_size=64,
+        forecast_time_period=24, seed=0, sample_mode="device",
+    )
+    specs = norm_specs_from_cfg(OBS_CFG)
+    cfg = StepConfig(
+        coord_spec=CoordSpec(lon_size=w, lat_size=h, dx=27000.0, dy=27000.0,
+                             pred_t_span=86400.0),
+        obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
+        loss_factor=FACTORS,
+    )
+    sample = dataset.get_cube_item(0)
+    meta = dict(enc_in=sample["field_data"].shape[1], c_out=32, d_model=32,
+                n_heads=4, e_layers=1, d_ff=32, activation="gelu",
+                learnable_token_num=8)
+    net = dict(in_channels=192, hidden_channels=32, learnable_token_num=16)
+    model = PhysicsNet(meta_cfg=meta, net_cfg=net)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(sample["field_data"][None], jnp.float32),
+                        jnp.zeros((4, 192)), jnp.zeros((4, 6)),
+                        jnp.asarray([[0.1]]))
+
+    # auto-detect: sample_mode='device' -> cube path, no __getitem__ needed
+    cube_out = evaluate_rmse(model, params, cfg, dataset, max_windows=1,
+                             points_per_window=512)
+    assert cube_out["n_points"] == 512.0
+    host_out = evaluate_rmse(model, params, cfg, dataset, max_windows=1,
+                             points_per_window=512, from_cubes=False)
+    for k in ("rmse_u10", "rmse_t2", "rmse_pres", "rmse_q2"):
+        assert np.isfinite(cube_out[k]) and cube_out[k] > 0
+        # same model, same population, different draws: agree within 2.5x
+        assert 0.4 < cube_out[k] / host_out[k] < 2.5, k

@@ -158,3 +158,63 @@ def test_sharded_training_trajectory_matches_single_device(engine):
     # (no loss-decrease assert: each step draws a fresh random batch whose
     # PDE terms differ by orders of magnitude, so inter-step losses are not
     # comparable; the equivalence of the two trajectories is the signal)
+
+
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+@pytest.mark.parametrize("direction", ["mesh_to_single", "single_to_mesh"])
+def test_cross_topology_checkpoint_resume(tmp_path, backend, direction):
+    """Save under one device topology, resume under the other, continue
+    training: the post-resume loss must match the uninterrupted run (round-2
+    VERDICT #8 -- the fallback code existed, nothing proved the mesh->single
+    direction)."""
+    from deepphysinet_tpu.train import checkpoint as ckpt
+    from deepphysinet_tpu.train.train_step import TrainState
+
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    cfg = _cfg()
+    tx = build_optimizer("Adam", lr=1e-3, weight_decay=1e-4)
+    batches = [_make_batch(np.random.RandomState(300 + i), B=4, Nm=32, Ni=16)
+               for i in range(2)]
+    mesh = make_mesh(MeshConfig(data=4, points=2))
+    sharded = make_sharded_train_step(model, tx, cfg, mesh)
+    single = make_train_step(model, tx, cfg)
+
+    def step_a(state, b):
+        if direction == "mesh_to_single":
+            return sharded(state, shard_batch(b, mesh), True)
+        return single(state, b, True)
+
+    def step_b(state, b):
+        if direction == "mesh_to_single":
+            return single(state, b, True)
+        return sharded(state, shard_batch(b, mesh), True)
+
+    # uninterrupted reference: step under topology A then topology B
+    state = create_train_state(model, tx, jax.random.PRNGKey(2), batches[0])
+    state_ref = jax.tree.map(lambda x: x.copy(), state)
+    state_ref, _ = step_a(state_ref, batches[0])
+    ref_params = jax.tree.map(np.asarray, state_ref.params)
+    state_ref, m_ref = step_b(state_ref, batches[1])
+
+    # interrupted: step A -> save -> load -> step B
+    state, _ = step_a(state, batches[0])
+    d = str(tmp_path / backend)
+    ckpt.save_checkpoint(d, 0, 1, params=state.params,
+                         opt_state=state.opt_state, backend=backend)
+    sd, next_epoch, gstep = ckpt.load_checkpoint(d, backend=backend)
+    assert sd is not None and gstep == 1
+    fresh = create_train_state(model, tx, jax.random.PRNGKey(9), batches[0])
+    # host (numpy) leaves stay uncommitted -> resumable under ANY topology
+    # (mirrors InterfacePhysics._restore_state)
+    params = jax.tree.map(np.asarray, sd["model"])
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(fresh.opt_state),
+        [np.asarray(x) for x in jax.tree.leaves(sd["opt_state"])])
+    resumed = TrainState(step=np.asarray(gstep), params=params, opt_state=opt_state)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(b), a, rtol=1e-6, atol=1e-7)
+    resumed, m_res = step_b(resumed, batches[1])
+    np.testing.assert_allclose(float(m_res["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m_res["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-4)

