@@ -880,6 +880,171 @@ def fused_decode_jvp_v5(
     return primal[:n], tang[:, :n]
 
 
+def _decode_kernel_v4pe(
+    cn_ref, cd_ref, ref_ref, fb_ref, fb2_ref, scales_ref,
+    w1_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, cdt, n_freqs: int, n_cd_freqs: int,
+):
+    """v4 collapsed algebra with the PE computed on the VPU inside the kernel.
+
+    Inputs per block shrink from [Nb, 192]x2 + [3, Nb, 64] prepared features
+    to [Nb, 8] coords + [Nb, 8] conditioning values: no XLA prep pipeline, no
+    feature HBM round trip (the >50K-point VMEM spill of the prep is the
+    round-2 perf item b).  W1 / wd-fused weights arrive channel-major
+    (channel_major_perm) so each PE block is a plain concat and direction-k
+    tangent weights are contiguous row slices (the v3 trick on v4 algebra).
+    """
+    f32 = jnp.float32
+    fb = fb_ref[0]  # [F] coord freq bands
+    fb2 = fb2_ref[0]  # [F2] conditioning freq bands
+    scales = scales_ref[0]  # [3]
+
+    pe_blocks, sin_c, cos_c = [], [], []
+    for c in range(3):
+        blk, s, co = _pe_block(cn_ref[:, c : c + 1], fb, f32)
+        pe_blocks.append(blk)
+        sin_c.append(s)
+        cos_c.append(co)
+    P_in = jnp.concatenate(pe_blocks, axis=-1).astype(cdt)  # [Nb, 6F] cm
+
+    t_blocks = []
+    for k in range(3):
+        dsin = cos_c[k] * fb[None, :] * scales[k]
+        dcos = -sin_c[k] * fb[None, :] * scales[k]
+        t_blocks.append(jnp.concatenate([dsin, dcos], axis=-1).astype(cdt))
+
+    CD = jnp.concatenate(
+        [_pe_block(cd_ref[:, c : c + 1], fb2, f32)[0] for c in range(6)],
+        axis=-1).astype(cdt)  # [Nb, 12*F2] cm
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    two_f = 2 * n_freqs
+    primal_cols, tang_cols = [], []
+    for v in range(n_vars):
+        w1 = w1_ref[v]
+        z = dot(P_in, w1) + b1_ref[v][None, :]
+        mask = z > 0
+        p = jnp.maximum(z, 0.0)
+        t16 = jnp.concatenate(
+            [jnp.where(mask, dot(t_blocks[k], w1[k * two_f : (k + 1) * two_f]),
+                       0.0).astype(cdt)
+             for k in range(3)], axis=0)  # [3Nb, hid]
+
+        rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) \
+            + rbias_ref[v][None, :]
+        rt = dot(t16, w2f1_ref[v])
+        maskr = rp > 0
+        pr = jnp.maximum(rp, 0.0)
+        tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
+
+        fw2 = fw2_ref[v][None, :].astype(f32)
+        w2wo = w2wo_ref[v][None, :].astype(f32)
+        o = (
+            jnp.sum(pr * fw2, axis=-1)
+            + 2.0 * (jnp.sum(p * w2wo, axis=-1)
+                     + jnp.sum(CD.astype(f32) * wdwo_ref[v][None, :], axis=-1))
+            + obias_ref[v]
+            + ref_ref[:, v]
+        )
+        to = (jnp.sum(tr * fw2, axis=-1)
+              + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))
+        primal_cols.append(o[:, None])
+        tang_cols.append(to.reshape(3, block_n)[:, :, None])
+
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1)
+
+
+def fused_decode_jvp_v4pe(
+    fw: FusedDecodeWeights,
+    coords: jnp.ndarray,  # [N, 3] physical (x m, y m, t s)
+    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
+    coord_spec,
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v4 algebra + in-kernel PE: raw coordinates in, (primal, tangents) out.
+
+    Per point only 3 coords + 6 conditioning values + 6 + 18 outputs cross
+    HBM -- the whole pe/dpe/cd_pe prep (the piece that spills VMEM past ~50K
+    points and forces chunked inference) disappears.  Weight layout: the
+    channel-major permutation is applied per window in XLA (cheap einsum-free
+    gathers over [6, 192, hid])."""
+    n = coords.shape[0]
+    n_vars, in_ch, hid = fw.w1.shape
+    n_freqs = in_ch // 6
+    n_cd_freqs = in_ch // 2 // 6
+
+    scales = jnp.array(
+        [1.0 / (coord_spec.dx * (coord_spec.lon_size - 1)),
+         1.0 / (coord_spec.dy * (coord_spec.lat_size - 1)),
+         1.0 / coord_spec.pred_t_span], jnp.float32)
+    cn = coords.astype(jnp.float32) * scales
+    cn = jnp.pad(cn, ((0, 0), (0, 5)))  # lane-friendlier [N, 8]
+    cd_in = jnp.pad(coord_data.astype(jnp.float32), ((0, 0), (0, 2)))
+    ref = coord_data.astype(jnp.float32)
+
+    perm = channel_major_perm(in_ch, 3)
+    perm_cd = channel_major_perm(in_ch, 6)
+    cdt = compute_dtype
+    f32 = jnp.float32
+    w1_cm = fw.w1[:, perm, :].astype(cdt)
+    wdf1_cm = fw.wdf1[:, perm_cd, :].astype(cdt)
+    wdwo_cm = fw.wdwo[:, perm_cd].astype(f32)
+
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        cn = jnp.pad(cn, ((0, pad), (0, 0)))
+        cd_in = jnp.pad(cd_in, ((0, pad), (0, 0)))
+        ref = jnp.pad(ref, ((0, pad), (0, 0)))
+    n_pad = cn.shape[0]
+    grid = (n_pad // block_n,)
+
+    fb = jnp.asarray(make_freq_bands(n_freqs, 4.0), jnp.float32)[None]
+    fb2 = jnp.asarray(make_freq_bands(n_cd_freqs, 4.0), jnp.float32)[None]
+    wt = [w1_cm, fw.b1.astype(f32), fw.w2f1.astype(cdt), wdf1_cm,
+          fw.rbias.astype(f32), fw.fw2.astype(f32), fw.w2wo.astype(f32),
+          wdwo_cm, fw.obias.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(
+        _decode_kernel_v4pe, block_n=block_n, n_vars=n_vars, cdt=cdt,
+        n_freqs=n_freqs, n_cd_freqs=n_cd_freqs)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        **extra,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_vars), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad, n_vars), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, 8), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, 8), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+        ] + [full() for _ in range(3)] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(cn, cd_in, ref, fb, fb2, scales[None], *wt)
+    return primal[:n], tang[:, :n]
+
+
 def _decode_bwd_kernel_v4(
     pe_ref, dpe_ref, cdpe_ref, go_ref, gto_ref,
     w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,

@@ -169,6 +169,7 @@ def fused_kernel_fields(
     interpret: bool = False,
     trainable: bool = False,
     version: int = 4,
+    in_kernel_pe: bool = False,
 ) -> Tuple[jnp.ndarray, FieldDerivatives]:
     """``(primal_norm [N, 6], FieldDerivatives)`` via the fused Pallas kernel.
 
@@ -183,8 +184,21 @@ def fused_kernel_fields(
     ``version=2`` keeps the round-1 kernel.
     """
     from deepphysinet_tpu.ops.decode_kernel import (
-        fuse_decode_weights, fused_decode_jvp, fused_decode_jvp_trainable,
-        fused_decode_jvp_v4, fused_decode_jvp_v4_kbwd)
+        extract_decode_weights, fuse_decode_weights, fused_decode_jvp,
+        fused_decode_jvp_trainable, fused_decode_jvp_v4,
+        fused_decode_jvp_v4_kbwd, fused_decode_jvp_v4pe)
+
+    if in_kernel_pe and version == 4 and not trainable:
+        # v4pe: raw coordinates in, PE on the VPU inside the kernel -- no XLA
+        # prep pipeline at all (eval/inference path; see docs/PERF.md for the
+        # measured comparison)
+        weights = extract_decode_weights(model, params, tokens, fore_h)
+        coord_data = jax.lax.stop_gradient(coord_data)
+        fw = fuse_decode_weights(weights)
+        primal, tang = fused_decode_jvp_v4pe(
+            fw, coords, coord_data, coord_spec, interpret=interpret,
+            compute_dtype=model.compute_dtype)
+        return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
     weights, pe, dpe, cd_pe = _kernel_inputs(
         model, params, tokens, coords, coord_data, fore_h, coord_spec)

@@ -402,3 +402,31 @@ class TestCollapsedPrimalDecode:
         assert cos > 0.999, cos
         np.testing.assert_allclose(float(jnp.linalg.norm(fg)),
                                    float(jnp.linalg.norm(fr)), rtol=1e-2)
+
+
+def test_fused_decode_v4pe_matches_linearize(setup, rng):
+    """Kernel v4pe (collapsed algebra + in-kernel PE) == jax.linearize."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        fuse_decode_weights, fused_decode_jvp_v4pe)
+
+    model, params, tokens = setup
+    coords, coord_data = _rand_points(rng, 64)
+    fore_h = jnp.array([0.1], jnp.float32)
+
+    def norm_fn(c):
+        pe = encode_coord(c[:, 0], c[:, 1], c[:, 2], COORD)
+        return model.apply(params, tokens, pe, coord_data, fore_h,
+                           method=PhysicsNet.decode)
+
+    primal_ref, lin = jax.linearize(norm_fn, coords)
+    tang_ref = [lin(jnp.zeros_like(coords).at[:, k].set(1.0)) for k in range(3)]
+
+    fw = fuse_decode_weights(extract_decode_weights(model, params, tokens, fore_h))
+    primal, tang = fused_decode_jvp_v4pe(fw, coords, coord_data, COORD,
+                                         block_n=32, interpret=True,
+                                         compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(primal), np.asarray(primal_ref),
+                               rtol=2e-4, atol=2e-5)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(tang[k]), np.asarray(tang_ref[k]),
+                                   rtol=2e-3, atol=1e-7)
