@@ -171,11 +171,14 @@ def _attention_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: floa
 # single-tile fused kernel (whose L x L scores must fit VMEM)
 _FLASH_THRESHOLD = 1024
 
-# at or below this length the auto dispatch stays on plain XLA attention:
-# kernel launch overhead dominates tiny sequences (measured at the flagship's
-# 287 tokens on v5e: xla fwd+bwd 0.95 ms vs pallas 1.18 / flash 1.31; the
-# crossover above 287 is unswept -- 512 is a conservative cut)
-_XLA_SEQ_THRESHOLD = 512
+# at or below this length the auto dispatch stays on plain XLA attention.
+# Round-3 sweep (fwd+bwd, B=1 H=8 E=64 bf16, median-of-5 slopes on v5e):
+# XLA and the Pallas single-tile kernel are within measurement noise
+# (~120-150 us) at EVERY length 287..1024, and blockwise flash only loses
+# there (180 us at 1024) -- there is no crossover below the flash
+# threshold, so XLA serves the whole single-tile range and flash takes over
+# beyond it (where the L x L score tile stops fitting VMEM anyway)
+_XLA_SEQ_THRESHOLD = 1024
 
 
 def default_impl(seq_len: Optional[int] = None) -> str:

@@ -177,34 +177,12 @@ def _window_losses(
         for k, v in m_losses.items():
             out[f"margin_{k}"] = v
     elif with_pde:
-        # --- ONE engine evaluation for margin + inter points combined: the
-        # concatenated batch (20480 + 4096 = 24576 at reference dims) runs a
-        # single fused kernel launch fwd+bwd -- one weight load, one grid --
-        # instead of two (round-2 VERDICT perf item a); the margin slice's
+        # --- shared margin evaluation via the jvp/kernel engine: the engine's
         # normalized primal doubles as the data-loss prediction (no second
-        # decode), the inter slice feeds the collocation losses below ---
-        nm = margin.x.shape[0]
-        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
-        both = PointBatch(
-            x=cat(margin.x, inter.x), y=cat(margin.y, inter.y),
-            t=cat(margin.t, inter.t), f=cat(margin.f, inter.f),
-            nwp=cat(margin.nwp, inter.nwp), labels=None,
-        )
-        primal_all, fd_all = engine_fields(both)
-
-        def fd_slice(sl):
-            from deepphysinet_tpu.physics.engine import FieldDerivatives as FD
-
-            return FD(
-                fields={k: v[sl] for k, v in fd_all.fields.items()},
-                derivs={k: {ax: v[sl] for ax, v in d.items()}
-                        for k, d in fd_all.derivs.items()},
-            )
-
-        pred = primal_all[:nm]
-        inter_fd = fd_slice(slice(nm, None))
-        m_losses = residual_losses_from_fields(fd_slice(slice(0, nm)), margin.f,
-                                               factors, cfg.constants, pde_criterion)
+        # decode of the 20480 margin points) ---
+        pred, fd = engine_fields(margin)
+        m_losses = residual_losses_from_fields(fd, margin.f, factors,
+                                               cfg.constants, pde_criterion)
         for k, v in m_losses.items():
             out[f"margin_{k}"] = v
     else:
@@ -222,8 +200,8 @@ def _window_losses(
 
     if with_pde:
         # --- interior collocation points (:476-498) ---
+        coords = jnp.stack([inter.x, inter.y, inter.t], axis=-1)
         if cfg.pde_engine == "linearize":
-            coords = jnp.stack([inter.x, inter.y, inter.t], axis=-1)
             phys_fn = make_phys_fn(
                 model, params, tokens, inter.nwp, fore_h, cfg.coord_spec,
                 cfg.obs_specs, with_clip=True,
@@ -232,8 +210,8 @@ def _window_losses(
                 phys_fn, coords, inter.f, factors, cfg.constants, pde_criterion
             )
         else:
-            # jvp/kernel: already evaluated in the combined launch above
-            losses = residual_losses_from_fields(inter_fd, inter.f, factors,
+            _, fd = engine_fields(inter)
+            losses = residual_losses_from_fields(fd, inter.f, factors,
                                                  cfg.constants, pde_criterion)
         for k, v in losses.items():
             out[f"inter_{k}"] = v
