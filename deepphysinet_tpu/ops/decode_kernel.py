@@ -568,8 +568,8 @@ def _decode_kernel_v4(
         primal_cols.append(o[:, None])
         tang_cols.append(to.reshape(3, block_n)[:, :, None])
 
-    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1)
-    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1)
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1).astype(primal_ref.dtype)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1).astype(tang_ref.dtype)
 
 
 def fused_decode_jvp_v4(
@@ -582,11 +582,14 @@ def fused_decode_jvp_v4(
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     vmem_limit_bytes: int = 0,
+    out_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Primal [N, 6] + tangents [3, N, 6] via the collapsed v4 kernel.
 
     block_n=256 fits the default 16 MB scoped-VMEM limit; larger blocks need
-    ``vmem_limit_bytes`` raised (v5e has 128 MB physical VMEM)."""
+    ``vmem_limit_bytes`` raised (v5e has 128 MB physical VMEM).
+    ``out_dtype=bfloat16`` halves the output HBM traffic (perf experiment;
+    accumulation stays f32 in-kernel)."""
     n, in_ch = pe.shape
     ch = dpe.shape[-1]
     n_vars = fw.w1.shape[0]
@@ -619,8 +622,8 @@ def fused_decode_jvp_v4(
         grid=grid,
         **extra,
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, n_vars), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad, n_vars), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n_vars), out_dtype),
+            jax.ShapeDtypeStruct((3, n_pad, n_vars), out_dtype),
         ),
         in_specs=[
             pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
