@@ -46,7 +46,7 @@ _SURFACE = {
     "q2": (0.0076, 0.003),
     "rio": (1.09, 0.08),
 }
-SYNTH_VERSION = "2"
+SYNTH_VERSION = "3"
 
 
 def synthetic_tree_is_current(root: str) -> bool:
@@ -79,7 +79,12 @@ def _field(name: str, lon2d, lat2d, hours: float, levels: int = 1, seed: int = 0
     """Smooth deterministic space-time harmonic field [H, W, levels]."""
     mean, amp = (_SURFACE.get(name) or _PRESSURE[name])
     h, w = lon2d.shape
-    rs = np.random.RandomState(abs(hash(name)) % (2**31) + seed)
+    # stable digest, NOT hash(): str hashing is salted per process, which made
+    # "identical" trees differ between generating processes (tests comparing
+    # results across trees flaked on the draw)
+    import zlib
+
+    rs = np.random.RandomState(zlib.crc32(name.encode()) % (2**31) + seed)
     out = np.zeros((h, w, levels), np.float64)
     for lev in range(levels):
         mean_l = mean[lev] if isinstance(mean, (list, tuple)) else mean
