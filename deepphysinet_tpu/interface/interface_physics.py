@@ -149,8 +149,20 @@ class InterfacePhysics:
     # ---- batch conversion ----
 
     def _to_batch(self, data: Dict[str, np.ndarray]) -> Batch:
-        def f32(x):
-            return jnp.asarray(x, jnp.float32)
+        # multi-process: keep leaves on HOST -- the globalizing put
+        # (parallel/mesh.py put_sharded) consumes process-local numpy; pushing
+        # to the local device here would force a device->host round trip of
+        # every leaf on every step (tens of seconds each on slow-tunnel days)
+        if jax.process_count() > 1:
+            def f32(x):
+                return np.asarray(x, np.float32)
+
+            zeros_like = np.zeros_like
+        else:
+            def f32(x):
+                return jnp.asarray(x, jnp.float32)
+
+            zeros_like = jnp.zeros_like
 
         margin = PointBatch(
             x=f32(data["margin_x"]), y=f32(data["margin_y"]), t=f32(data["margin_t"]),
@@ -160,7 +172,7 @@ class InterfacePhysics:
         inter = PointBatch(
             x=f32(data["inter_x"]), y=f32(data["inter_y"]), t=f32(data["inter_t"]),
             f=f32(data["inter_f"]), nwp=f32(data["inter_data"]),
-            labels=jnp.zeros_like(f32(data["inter_data"])),
+            labels=zeros_like(f32(data["inter_data"])),
         )
         return Batch(
             field=f32(data["field_data"]),
@@ -199,7 +211,12 @@ class InterfacePhysics:
         any subset of ranks."""
         keys = sorted(metrics.keys())
         if jax.process_count() > 1:
-            return {k: float(np.asarray(metrics[k])) for k in keys}
+            # device_get on the whole dict starts copy_to_host_async for
+            # every leaf before blocking: the N scalar transfers overlap into
+            # ~one tunnel round trip without issuing any device computation
+            # (a device-side pack could not be launched by one controller)
+            vals = jax.device_get({k: metrics[k] for k in keys})
+            return {k: float(np.asarray(vals[k])) for k in keys}
         packed = jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
         vals = np.asarray(jax.device_get(packed))
         return {k: float(v) for k, v in zip(keys, vals)}
@@ -439,7 +456,7 @@ class InterfacePhysics:
                                               os.path.join(vis_path, "train_results"),
                                               global_step, with_pde)
 
-                    if preempted["flag"]:
+                    if self._agreed_preemption(preempted, nproc):
                         if is_main:
                             self._preemption_save(async_ckpt, checkpoint_path, epoch,
                                                   global_step, state, **meta_kwargs)
@@ -552,6 +569,24 @@ class InterfacePhysics:
             signal.signal(signal.SIGTERM, handler)
         except (ValueError, OSError):
             pass
+
+    @staticmethod
+    def _agreed_preemption(preempted: dict, nproc: int) -> bool:
+        """Cross-process agreement on the preemption flag.
+
+        SIGTERM delivery is per-process: if rank 0 stopped the moment its own
+        flag flipped while another rank had already entered the next
+        collective step, the survivors would block forever inside that
+        collective.  Every rank therefore all-gathers its local flag at the
+        same loop point and they stop together iff ANY rank was signalled.
+        Single-process: just the local flag (no collective cost)."""
+        if nproc <= 1:
+            return bool(preempted["flag"])
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(preempted["flag"], np.int32))
+        return bool(np.max(flags))
 
     @staticmethod
     def _drain_async_ckpt(async_ckpt) -> None:
@@ -787,7 +822,7 @@ class InterfacePhysics:
                                         summary.add_scalar(f"validation/{k}", v, global_step)
 
                         async_log.submit(log_job)
-                    if preempted["flag"]:
+                    if self._agreed_preemption(preempted, nproc):
                         async_log.wait()  # pending log fetches land first
                         if is_main:
                             self._preemption_save(async_ckpt, checkpoint_path, epoch,

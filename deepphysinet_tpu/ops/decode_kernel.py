@@ -428,7 +428,7 @@ def fused_decode_jvp_v3(
     n_pad = cn.shape[0]
     grid = (n_pad // block_n,)
 
-    fb = jnp.asarray(make_freq_bands(n_freqs, 4.0), jnp.float32)[None]
+    fb = jnp.asarray(coord_spec.freq_bands(), jnp.float32)[None]
     fb2 = jnp.asarray(make_freq_bands(n_cd_freqs, 4.0), jnp.float32)[None]
     wt = [w1_cm, weights.b1.astype(jnp.float32),
           weights.w2.astype(cdt), weights.b2.astype(jnp.float32),
@@ -984,6 +984,10 @@ def fused_decode_jvp_v4pe(
     n_vars, in_ch, hid = fw.w1.shape
     n_freqs = in_ch // 6
     n_cd_freqs = in_ch // 2 // 6
+    if n_freqs != coord_spec.n_freqs:
+        raise ValueError(
+            f"v4pe: decode in_channels {in_ch} implies {n_freqs} coord freqs "
+            f"but coord_spec.n_freqs={coord_spec.n_freqs}")
 
     scales = jnp.array(
         [1.0 / (coord_spec.dx * (coord_spec.lon_size - 1)),
@@ -1010,7 +1014,10 @@ def fused_decode_jvp_v4pe(
     n_pad = cn.shape[0]
     grid = (n_pad // block_n,)
 
-    fb = jnp.asarray(make_freq_bands(n_freqs, 4.0), jnp.float32)[None]
+    # coordinate bands from the spec (max_freq is a config knob); the
+    # conditioning-value PE is fixed at max_freq 4.0 everywhere
+    # (engine._kernel_inputs / models/variable_net.py)
+    fb = jnp.asarray(coord_spec.freq_bands(), jnp.float32)[None]
     fb2 = jnp.asarray(make_freq_bands(n_cd_freqs, 4.0), jnp.float32)[None]
     wt = [w1_cm, fw.b1.astype(f32), fw.w2f1.astype(cdt), wdf1_cm,
           fw.rbias.astype(f32), fw.fw2.astype(f32), fw.w2wo.astype(f32),

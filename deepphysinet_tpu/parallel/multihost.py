@@ -29,6 +29,14 @@ def initialize_distributed(
 
     if jax.distributed.is_initialized():
         return
+    # resolve the env-var configuration FIRST so a latched backend raises for
+    # env-launched multi-process jobs exactly like for explicit arguments
+    # (silently degrading to single-controller would let N hosts train
+    # independently while clobbering one shared checkpoint path)
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if num_processes is not None and num_processes <= 1:
+        return
     try:
         from jax._src import xla_bridge
 
@@ -43,10 +51,6 @@ def initialize_distributed(
             return
     except ImportError:  # pragma: no cover - private API moved
         pass
-    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
-        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
-    if num_processes is not None and num_processes <= 1:
-        return
     if num_processes is None and coordinator_address is None:
         # no explicit args: only attempt auto-detection when the environment
         # says this is a multi-process job (TPU pod / launcher env), so a

@@ -136,11 +136,17 @@ def make_sharded_device_sampling_step(model, tx, cfg: StepConfig, mesh: Mesh, sc
     """Mesh-sharded on-device-sampling step: one window per ``data`` slot.
 
     Each device holds its windows' cubes and samples its own fresh points
-    every step.  Per-window PRNG keys are drawn from the SAME global split
-    the single-controller step would make (split into B_global, each data
-    shard takes its slice by mesh position), so the sharded run is
-    step-for-step equivalent.  This is the production configuration: host
-    bandwidth per chip stays constant as the slice grows.
+    every step.  Per-window PRNG keys come from one global split (B_global
+    keys; data shard d takes the contiguous slice at its mesh position), so
+    with the production geometry -- ONE window per data slot, the only shape
+    the trainer feeds -- window->key assignment matches the single-controller
+    run exactly, including across processes (the strided multi-host loader
+    maps window k of the global order to global row k when b_local == 1;
+    tests/test_multihost.py asserts the resulting loss parity).  With
+    multiple windows per slot the assignment is still deterministic but no
+    longer layout-invariant (rows permute between loader shardings).  This is
+    the production configuration: host bandwidth per chip stays constant as
+    the slice grows.
     """
     from deepphysinet_tpu.train.device_sampling import CubeBatch, make_ds_loss_fn
 

@@ -31,18 +31,15 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from deepphysinet_tpu.ops.coords import OMEGA
 from deepphysinet_tpu.ops.interp import trilinear_interp_cube
 from deepphysinet_tpu.train.train_step import (
-    Batch,
     PointBatch,
     StepConfig,
     TrainState,
     _variable_metrics,
     _window_losses,
-    make_train_step_impl,
 )
 from deepphysinet_tpu.train.losses import build_loss
 
