@@ -547,6 +547,39 @@ class InterfacePhysics:
                   f"{self._valid_failures}/{self._MAX_CONSECUTIVE_VALID_FAILURES}")
             return None
 
+    def _device_mode_validation_dist(self, valid_dataset, cfg, state,
+                                     with_pde, mesh, nproc, rank):
+        """Multi-process device-mode validation: a COLLECTIVE over the mesh.
+
+        Every rank assembles its own distinct validation windows (one per
+        local data row), globalizes them through the sharded batch put, and
+        all ranks enter the shard_map'd eval together; only rank 0 later
+        fetches/logs the replicated metrics.  Unlike the single-controller
+        path there is no skip-on-error tolerance: a rank skipping a
+        collective would strand the others, so assembly errors are fatal
+        (consistent with every other collective in the loop)."""
+        from deepphysinet_tpu.parallel.mesh import shard_batch
+        from deepphysinet_tpu.parallel.sharding import make_sharded_eval_step
+
+        if not hasattr(self, "_valid_sharded_step"):
+            self._valid_sharded_step = make_sharded_eval_step(
+                self.physics_net, cfg, mesh)
+            self._valid_item = 0
+        rows = mesh.shape["data"] // nproc  # local windows per process
+        items = []
+        for j in range(rows):
+            idx = (self._valid_item + rank * rows + j) % len(valid_dataset)
+            items.append(valid_dataset[idx])
+        self._valid_item += mesh.shape["data"]
+        data = {
+            k: (np.stack([np.asarray(it[k]) for it in items])
+                if not isinstance(items[0][k], str)
+                else [it[k] for it in items])
+            for k in items[0] if k != "input_file"
+        }
+        gbatch = shard_batch(self._to_batch(data), mesh)
+        return self._valid_sharded_step(state.params, gbatch, with_pde)
+
     @staticmethod
     def print_key_args(**kwargs):
         """interface_physics.py:1538-1541 parity."""
@@ -772,20 +805,28 @@ class InterfacePhysics:
                         sub = np.asarray(sub)
                     state, metrics = step(state, cube, sub, with_pde)
                     steps_since_log += 1
-                    if (global_step % log_step == 1
-                            or (max_steps and global_step >= max_steps)) and is_main:
+                    do_log = (global_step % log_step == 1
+                              or (max_steps and global_step >= max_steps))
+                    if do_log:
                         fps = time_metric.get_fps(steps_since_log)
                         time_metric.reset()
                         steps_since_log = 0
-                        # dispatch validation here (params are donated next step);
-                        # fetch + writes happen on the logger thread.
-                        # Multi-process: the unsharded validation jit would be
-                        # a single-controller computation on global params --
-                        # skipped (use tools/evaluate.py on the saved ckpts)
+                        # dispatch validation here (params are donated next
+                        # step); fetch + writes happen on the logger thread.
+                        # Single-process: local unsharded eval with
+                        # skip-on-error tolerance.  Multi-process: a
+                        # collective sharded eval EVERY rank must enter
+                        # (the log condition is lockstep); rank 0 logs.
                         vm_arrays = None
                         if len(valid_dataset) > 0 and nproc == 1:
                             vm_arrays = self._device_mode_validation(
                                 valid_dataset, cfg, state, with_pde, fetch=False)
+                        elif (nproc > 1 and mesh is not None
+                              and len(valid_dataset) >= mesh.shape["data"]):
+                            vm_arrays = self._device_mode_validation_dist(
+                                valid_dataset, cfg, state, with_pde, mesh,
+                                nproc, rank)
+                    if do_log and is_main:
 
                         def log_job(metrics=metrics, vm_arrays=vm_arrays,
                                     epoch=epoch, global_step=global_step, fps=fps):
@@ -817,7 +858,9 @@ class InterfacePhysics:
                                           f"failed ({e}); skipping this log step")
                                     vm = None
                                 if vm is not None:
-                                    log_fp.write(f"valid loss:{vm['total_loss']:.6f}\n")
+                                    vline = f"valid loss:{vm['total_loss']:.6f}"
+                                    print(vline)
+                                    log_fp.write(vline + "\n")
                                     for k, v in vm.items():
                                         summary.add_scalar(f"validation/{k}", v, global_step)
 

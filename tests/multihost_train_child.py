@@ -52,6 +52,11 @@ tc["log"]["log_path"] = os.path.join(run_root, f"log_p{pid}")
 # log at steps 1 and 3 (the loop condition is `step % log_step == 1`,
 # plus the final max_steps log)
 tc["log"]["log_step"] = 2
+if mode == "device":
+    # >= mesh data-axis windows so the COLLECTIVE multi-process validation
+    # path runs (each rank contributes one window to the sharded eval)
+    tc["valid_data"]["start_time"] = tc["train_data"]["start_time"]
+    tc["valid_data"]["end_time"] = tc["train_data"]["end_time"]
 if mode == "host":
     # host sampling: each process assembles its own point batches; smaller
     # point counts keep the 2-process CPU run fast.  Loss parity with a

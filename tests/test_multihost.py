@@ -64,8 +64,11 @@ def test_two_process_trainer_end_to_end(tmp_path):
 
     losses_mp = _parse_losses(outs[0])
     assert len(losses_mp) >= 2, outs[0][-2000:]
+    # the collective multi-process validation ran and rank 0 logged it
+    assert "valid loss:" in outs[0], outs[0][-2000:]
     # rank gating: the non-main rank logs and checkpoints nothing
     assert "[device-sampled]" not in outs[1]
+    assert "valid loss:" not in outs[1]
     ckpts = os.listdir(os.path.join(str(tmp_path), "ckpt"))
     assert any(f.startswith("physics_") for f in ckpts), ckpts
 
