@@ -97,7 +97,7 @@ def main() -> None:
     # ---- primary: pure residual-evaluation engine ----
     from deepphysinet_tpu.models.physics_net import PhysicsNet
     from deepphysinet_tpu.physics.engine import (
-        fused_kernel_fields, pde_residual_losses, residual_losses_from_fields)
+        fused_residual_losses, pde_residual_losses)
     from deepphysinet_tpu.train.point_fn import make_phys_fn
 
     use_kernel = jax.default_backend() == "tpu"
@@ -120,11 +120,12 @@ def main() -> None:
     def residual_eval(params, coords, nwp, f):
         tokens = model.apply(params, batch.field, jnp.asarray([[24.0 / 360.0]]),
                              method=PhysicsNet.encode)
-        if use_kernel:  # fused Pallas decode+jvp kernel (ops/decode_kernel.py)
-            _, fd = fused_kernel_fields(model, params, tokens[0], coords, nwp,
-                                        fh_norm, step_cfg.coord_spec,
-                                        step_cfg.obs_specs, with_clip=True)
-            return residual_losses_from_fields(fd, f, factors)["total"]
+        if use_kernel:  # fused Pallas path (split or in-kernel assembly by N;
+            # ops/decode_kernel.py + ops/residual_kernel.py)
+            return fused_residual_losses(
+                model, params, tokens[0], coords, nwp, fh_norm, f,
+                step_cfg.coord_spec, step_cfg.obs_specs, factors,
+                with_clip=True)["total"]
         phys_fn = make_phys_fn(model, params, tokens[0], nwp, fh_norm,
                                step_cfg.coord_spec, step_cfg.obs_specs, with_clip=True)
         return pde_residual_losses(phys_fn, coords, f, factors)["total"]

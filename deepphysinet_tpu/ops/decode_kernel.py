@@ -513,6 +513,54 @@ def fuse_decode_weights(w: DecodeWeights) -> FusedDecodeWeights:
     )
 
 
+def _v4_var_column(
+    P_in, T_in, CD, ref_col,
+    w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    *, v: int, block_n: int, cdt,
+):
+    """One variable's collapsed-algebra primal + 3 tangents inside a kernel.
+
+    Shared by the decode kernel (_decode_kernel_v4) and the residual-assembly
+    kernel (ops/residual_kernel.py); returns ``(o [Nb], to [3, Nb])`` in f32.
+    """
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    z = dot(P_in, w1_ref[v]) + b1_ref[v][None, :]
+    mask = z > 0
+    p = jnp.maximum(z, 0.0)  # f32: feeds the w2wo reduction of o
+    # masked tangents staged in cdt: they only feed matmuls and one
+    # reduction, and the smaller buffers keep block_n=512 inside VMEM
+    t16 = jnp.concatenate(
+        [jnp.where(mask, dot(T_in[k], w1c_ref[v, k]), 0.0).astype(cdt)
+         for k in range(3)], axis=0)  # [3Nb, hid]
+
+    rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) \
+        + rbias_ref[v][None, :]  # [Nb, hid]
+    rt = dot(t16, w2f1_ref[v])  # [3Nb, hid]
+    maskr = rp > 0
+    pr = jnp.maximum(rp, 0.0)
+    tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
+
+    fw2 = fw2_ref[v][None, :].astype(f32)
+    w2wo = w2wo_ref[v][None, :].astype(f32)
+    wdwo = wdwo_ref[v][None, :].astype(f32)
+    o = (
+        jnp.sum(pr * fw2, axis=-1)
+        + 2.0 * (jnp.sum(p * w2wo, axis=-1) + jnp.sum(CD.astype(f32) * wdwo, axis=-1))
+        + obias_ref[v]
+        + ref_col
+    )  # [Nb]
+    to = (jnp.sum(tr * fw2, axis=-1)
+          + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))  # [3Nb]
+    return o, to.reshape(3, block_n)
+
+
 def _decode_kernel_v4(
     pe_ref, dpe_ref, cdpe_ref, ref_ref,
     w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
@@ -526,47 +574,20 @@ def _decode_kernel_v4(
     matmuls; primal and the 3 tangent rows share the big [4Nb, hid] trunk
     matmul; everything after the second relu is lane reductions on the VPU.
     """
-    f32 = jnp.float32
     P_in = pe_ref[...]  # [Nb, in_ch] cdt
     T_in = dpe_ref[...]  # [3, Nb, in_ch//3] cdt compact
     CD = cdpe_ref[...]  # [Nb, in_ch] cdt
 
-    def dot(a, w):
-        return jax.lax.dot_general(
-            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        )
-
     primal_cols, tang_cols = [], []
     for v in range(n_vars):
-        z = dot(P_in, w1_ref[v]) + b1_ref[v][None, :]
-        mask = z > 0
-        p = jnp.maximum(z, 0.0)  # f32: feeds the w2wo reduction of o
-        # masked tangents staged in cdt: they only feed matmuls and one
-        # reduction, and the smaller buffers keep block_n=512 inside VMEM
-        t16 = jnp.concatenate(
-            [jnp.where(mask, dot(T_in[k], w1c_ref[v, k]), 0.0).astype(cdt)
-             for k in range(3)], axis=0)  # [3Nb, hid]
-
-        rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) \
-            + rbias_ref[v][None, :]  # [Nb, hid]
-        rt = dot(t16, w2f1_ref[v])  # [3Nb, hid]
-        maskr = rp > 0
-        pr = jnp.maximum(rp, 0.0)
-        tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
-
-        fw2 = fw2_ref[v][None, :].astype(f32)
-        w2wo = w2wo_ref[v][None, :].astype(f32)
-        wdwo = wdwo_ref[v][None, :].astype(f32)
-        o = (
-            jnp.sum(pr * fw2, axis=-1)
-            + 2.0 * (jnp.sum(p * w2wo, axis=-1) + jnp.sum(CD.astype(f32) * wdwo, axis=-1))
-            + obias_ref[v]
-            + ref_ref[:, v]
-        )  # [Nb]
-        to = (jnp.sum(tr * fw2, axis=-1)
-              + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))  # [3Nb]
+        o, to3 = _v4_var_column(
+            P_in, T_in, CD, ref_ref[:, v],
+            w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+            fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+            v=v, block_n=block_n, cdt=cdt,
+        )
         primal_cols.append(o[:, None])
-        tang_cols.append(to.reshape(3, block_n)[:, :, None])
+        tang_cols.append(to3[:, :, None])
 
     primal_ref[...] = jnp.concatenate(primal_cols, axis=-1).astype(primal_ref.dtype)
     tang_ref[...] = jnp.concatenate(tang_cols, axis=-1).astype(tang_ref.dtype)

@@ -283,6 +283,49 @@ def collapsed_decode(
     return decode_xla_v4_primal(fw, pe, cd_pe, coord_data, model.compute_dtype)
 
 
+# Measured crossover on v5e (scripts/perf_residual_kernel.py, docs/PERF.md
+# round 3e): below this point count the split decode-kernel + XLA assembly is
+# equal-or-faster (18.2M evals/s at the 24K-49K plateau); at and above it the
+# in-kernel assembly wins (17.8M vs 15.6M at 65K-98K) because the [3, N, 6]
+# tangent tensor never round-trips HBM, which is what caused the >49K falloff.
+FUSED_ASSEMBLY_MIN_N = 49152
+
+
+def fused_residual_losses(
+    model,
+    params,
+    tokens: jnp.ndarray,  # [T, D]
+    coords: jnp.ndarray,  # [N, 3] physical
+    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
+    fore_h: jnp.ndarray,  # [1]
+    coriolis_f: jnp.ndarray,  # [N, 1]
+    coord_spec,
+    obs_specs,
+    loss_factor: Dict[str, float],
+    with_clip: bool = True,
+    constants: PhysicalConstants = DEFAULT_CONSTANTS,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Forward-only residual losses via the fused Pallas path (MSE criterion).
+
+    Auto-dispatches between the split decode-kernel + XLA assembly and the
+    in-kernel residual assembly (ops/residual_kernel.py) at the measured
+    point-count crossover.  Not differentiable w.r.t. params (eval/bench
+    path); training uses the custom-VJP kernel pair through train_step.
+    """
+    if coords.shape[0] >= FUSED_ASSEMBLY_MIN_N:
+        from deepphysinet_tpu.ops.residual_kernel import kernel_residual_losses
+
+        return kernel_residual_losses(
+            model, params, tokens, coords, coord_data, fore_h, coriolis_f,
+            coord_spec, obs_specs, loss_factor, with_clip=with_clip,
+            constants=constants, interpret=interpret)
+    _, fd = fused_kernel_fields(model, params, tokens, coords, coord_data,
+                                fore_h, coord_spec, obs_specs,
+                                with_clip=with_clip, interpret=interpret)
+    return residual_losses_from_fields(fd, coriolis_f, loss_factor, constants)
+
+
 def pde_residual_losses(
     phys_fn: Callable[[jnp.ndarray], jnp.ndarray],
     coords: jnp.ndarray,  # [N, 3] physical (x m, y m, t s)
