@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--full_grid", action="store_true",
                         help="exhaustive sweep: every labeled grid point at "
                              "every labeled hour (headline RMSE mode)")
+    parser.add_argument("--residuals", action="store_true",
+                        help="physics-consistency mode: per-equation PDE "
+                             "residual MSEs over the full label grid instead "
+                             "of RMSE vs labels")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -63,7 +67,14 @@ def main():
     window_h = dataset.input_time_step * dataset.input_time_step_nums
     step_cfg = interface._step_cfg(float(window_h * 3600), dataset.forecast_time_period)
 
-    if args.full_grid:
+    if args.residuals:
+        from deepphysinet_tpu.eval.residuals import evaluate_residuals
+
+        metrics = evaluate_residuals(
+            interface.physics_net, params, step_cfg, dataset,
+            max_windows=args.max_windows,
+        )
+    elif args.full_grid:
         metrics = evaluate_rmse_fullgrid(
             interface.physics_net, params, step_cfg, dataset,
             max_windows=args.max_windows,
