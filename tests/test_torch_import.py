@@ -1,0 +1,369 @@
+"""Torch-checkpoint import/export (train/torch_import.py).
+
+A torch twin is built with the REFERENCE'S module attribute names (reference
+model/physics_net.py:26-31, transformer_net.py:95-129, variable_net.py:47-66,
+attn.py:161-196), so its ``state_dict()`` keys are byte-identical to a real
+reference checkpoint's.  Importing that state_dict must reproduce the twin's
+forward through our flax model, and exporting our params must load back into
+the twin with ``strict=True`` -- both directions of the switch-over path.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from deepphysinet_tpu.models.physics_net import PhysicsNet  # noqa: E402
+from deepphysinet_tpu.train.torch_import import (  # noqa: E402
+    convert_torch_state_dict,
+    export_torch_state_dict,
+    import_torch_checkpoint,
+)
+
+META = dict(enc_in=50, c_out=24, d_model=24, n_heads=4, e_layers=2, d_ff=24,
+            activation="gelu", learnable_token_num=6)
+NET = dict(in_channels=192, hidden_channels=24, learnable_token_num=10)
+
+
+def _pe(x: torch.Tensor, n_freqs: int) -> torch.Tensor:
+    """SineCosPE twin (reference utils/position_encoding.py; parity with our
+    ops/position_encoding.py proven in test_torch_parity.py)."""
+    freq = 2.0 ** torch.linspace(0.0, 4.0, n_freqs)
+    xf = x[..., None].expand(x.shape + (n_freqs,)) * freq
+    emb = torch.stack([torch.sin(xf).transpose(-1, -2),
+                       torch.cos(xf).transpose(-1, -2)], -2)
+    return emb.reshape(x.shape[:-1] + (-1,))
+
+
+class _RefAttention(nn.Module):
+    def __init__(self, d_model, n_heads):
+        super().__init__()
+        self.n_heads = n_heads
+        self.query_projection = nn.Linear(d_model, d_model)
+        self.key_projection = nn.Linear(d_model, d_model)
+        self.value_projection = nn.Linear(d_model, d_model)
+        self.out_projection = nn.Linear(d_model, d_model)
+
+    def forward(self, x):
+        b, l, d = x.shape
+        h = self.n_heads
+        e = d // h
+        q = self.query_projection(x).view(b, l, h, e)
+        k = self.key_projection(x).view(b, l, h, e)
+        v = self.value_projection(x).view(b, l, h, e)
+        scores = torch.einsum("blhe,bshe->bhls", q, k)
+        a = torch.softmax(scores / np.sqrt(e), dim=-1)
+        o = torch.einsum("bhls,bshd->blhd", a, v).reshape(b, l, d)
+        return self.out_projection(o)
+
+
+class _RefEncoderLayer(nn.Module):
+    def __init__(self, d_model, n_heads, d_ff):
+        super().__init__()
+        self.attention = _RefAttention(d_model, n_heads)
+        self.conv1 = nn.Conv1d(d_model, d_ff, kernel_size=1)
+        self.conv2 = nn.Conv1d(d_ff, d_model, kernel_size=1)
+        self.norm1 = nn.LayerNorm(d_model)
+        self.norm2 = nn.LayerNorm(d_model)
+
+    def forward(self, x):
+        x = x + self.attention(x)
+        y = x = self.norm1(x)
+        y = torch.nn.functional.gelu(self.conv1(y.transpose(-1, 1)))
+        y = self.conv2(y).transpose(-1, 1)
+        return self.norm2(x + y)
+
+
+class _RefEncoder(nn.Module):
+    def __init__(self, d_model, n_heads, d_ff, e_layers):
+        super().__init__()
+        self.attn_layers = nn.ModuleList(
+            [_RefEncoderLayer(d_model, n_heads, d_ff) for _ in range(e_layers)])
+        self.norm = nn.LayerNorm(d_model)
+
+    def forward(self, x):
+        for layer in self.attn_layers:
+            x = layer(x)
+        return self.norm(x)
+
+
+class _RefValueEmbedding(nn.Module):
+    def __init__(self, c_in, d_model):
+        super().__init__()
+        self.tokenConv = nn.Conv1d(c_in, d_model, kernel_size=3, padding=1,
+                                   padding_mode="circular")
+
+    def forward(self, x):
+        return self.tokenConv(x.permute(0, 2, 1)).transpose(1, 2)
+
+
+class _RefDataEmbedding(nn.Module):
+    def __init__(self, c_in, d_model):
+        super().__init__()
+        self.d_model = d_model
+        self.value_embedding = _RefValueEmbedding(c_in, d_model)
+
+    def forward(self, x, forecast_h, learnable_token):
+        x = self.value_embedding(x)
+        x = torch.cat([learnable_token, x], dim=1)
+        l, d = x.shape[1], self.d_model
+        pos = torch.zeros(l, d)
+        position = torch.arange(0, l).float().unsqueeze(1)
+        div = (torch.arange(0, d, 2).float() * -(np.log(10000.0) / d)).exp()
+        pos[:, 0::2] = torch.sin(position * div)
+        pos[:, 1::2] = torch.cos(position * div)
+        return x + pos[None] + _pe(forecast_h, d // 2)[:, None, :]
+
+
+class _RefTransformerNet(nn.Module):
+    def __init__(self, enc_in, c_out, d_model, n_heads, e_layers, d_ff,
+                 learnable_token_num, **_):
+        super().__init__()
+        self.enc_embedding = _RefDataEmbedding(enc_in, d_model)
+        self.learnable_token = nn.Parameter(
+            torch.rand([1, learnable_token_num, d_model]))
+        self.encoder = _RefEncoder(d_model, n_heads, d_ff, e_layers)
+        self.projection = nn.Linear(d_model, c_out)
+
+    def forward(self, x, forecast_h):
+        x = self.enc_embedding(x, forecast_h, self.learnable_token)
+        return self.projection(self.encoder(x))
+
+
+class _RefMetaNet(nn.Module):
+    def __init__(self, meta_cfg):
+        super().__init__()
+        self.model = _RefTransformerNet(**meta_cfg)
+
+    def forward(self, x, forecast_h):
+        return self.model(x, forecast_h)
+
+
+class _RefResMLP(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.fc = nn.Sequential(nn.Linear(ch, ch), nn.ReLU(), nn.Linear(ch, ch))
+
+    def forward(self, x):
+        return self.fc(x) + x
+
+
+class _RefVariableNet(nn.Module):
+    def __init__(self, token_num, in_channels, hidden_channels):
+        super().__init__()
+        self.token_num, self.in_channels = token_num, in_channels
+        self.hidden_channels = hidden_channels
+        self.coord_input_fc = nn.Linear(token_num, in_channels + 1)
+        self.coord_hidden_fc = nn.Linear(token_num, hidden_channels + 1)
+        self.data_input_fc = nn.Linear(in_channels, hidden_channels)
+        self.fore_h_fc = nn.Linear(in_channels, hidden_channels)
+        self.cat_fc1 = _RefResMLP(hidden_channels)
+        self.out_fc = nn.Linear(hidden_channels, 1)
+
+    def forward(self, meta_out, coord, coord_data, ref_data, fore_h):
+        meta = meta_out.squeeze(0)[: self.token_num]
+        w = self.coord_input_fc(meta.T)
+        w1, b1 = w[:, : self.in_channels], w[:, self.in_channels]
+        w = self.coord_hidden_fc(meta.T)
+        w2, b2 = w[:, : self.hidden_channels], w[:, self.hidden_channels]
+        x = torch.relu(coord @ w1.T + b1) @ w2.T + b2
+        cd_pe = self.data_input_fc(_pe(coord_data, self.in_channels // 2 // 6))
+        fh_pe = self.fore_h_fc(_pe(fore_h.squeeze(-1), self.in_channels // 2))
+        cat_x = x + cd_pe + fh_pe
+        x = self.cat_fc1(cat_x) + cat_x
+        return self.out_fc(x) + ref_data
+
+
+class _RefPhysicsNet(nn.Module):
+    """state_dict()-compatible twin of reference model/physics_net.py:17-55."""
+
+    def __init__(self, meta_cfg, net_cfg):
+        super().__init__()
+        tn = net_cfg["learnable_token_num"]
+        in_ch, hid = net_cfg["in_channels"], net_cfg["hidden_channels"]
+        self.meta_net = _RefMetaNet(meta_cfg)
+        self.U_net = _RefVariableNet(tn, in_ch, hid)
+        self.V_net = _RefVariableNet(tn, in_ch, hid)
+        self.P_net = _RefVariableNet(tn, in_ch, hid)
+        self.T_net = _RefVariableNet(tn, in_ch, hid)
+        self.rio_net = _RefVariableNet(tn, in_ch, hid)
+        self.q_net = _RefVariableNet(tn, in_ch, hid)
+
+    def forward(self, field_x, coord_pe, coord_data, forecast_h):
+        tokens = self.meta_net(field_x, forecast_h)
+        nets = (self.U_net, self.V_net, self.P_net, self.T_net, self.q_net,
+                self.rio_net)
+        outs = [net(tokens, coord_pe, coord_data, coord_data[:, v : v + 1],
+                    forecast_h)
+                for v, net in enumerate(nets)]
+        return torch.cat(outs, dim=-1)
+
+
+@pytest.fixture(scope="module")
+def twin_and_model():
+    torch.manual_seed(7)
+    twin = _RefPhysicsNet(META, NET).eval()
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    return twin, model
+
+
+def _inputs(rng):
+    field = rng.randn(1, 9, META["enc_in"]).astype(np.float32)
+    pe_in = rng.randn(11, NET["in_channels"]).astype(np.float32)
+    cd = (rng.randn(11, 6) * 0.2).astype(np.float32)
+    return field, pe_in, cd, 0.27
+
+
+def test_import_matches_torch_forward(twin_and_model, rng):
+    """A reference-format state_dict, imported, reproduces the torch forward."""
+    twin, model = twin_and_model
+    field, pe_in, cd, fh = _inputs(rng)
+
+    variables = convert_torch_state_dict(twin.state_dict())
+    fh_j = jnp.asarray([[fh]], jnp.float32)
+    tokens = model.apply(variables, jnp.asarray(field), fh_j,
+                         method=PhysicsNet.encode)
+    ours = np.asarray(model.apply(
+        variables, tokens[0], jnp.asarray(pe_in), jnp.asarray(cd), fh_j[0],
+        method=PhysicsNet.decode))
+
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(field), torch.from_numpy(pe_in),
+                   torch.from_numpy(cd), torch.tensor([[fh]])).numpy()
+    # f32 + the hypernet's generated-weight matmul chain amplify ULP noise;
+    # measured max-abs diff ~1.3e-3 at |ref| ~ 12
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_import_strips_ddp_prefix(twin_and_model):
+    """The reference's dist path saves the DDP-wrapped net -> 'module.' keys."""
+    twin, _ = twin_and_model
+    sd = {"module." + k: v for k, v in twin.state_dict().items()}
+    variables = convert_torch_state_dict(sd)
+    assert "meta_net" in variables["params"]
+
+
+def test_import_rejects_unknown_and_missing_keys(twin_and_model):
+    twin, _ = twin_and_model
+    sd = dict(twin.state_dict())
+    sd["stray.weight"] = torch.zeros(3)
+    with pytest.raises(ValueError, match="unrecognized"):
+        convert_torch_state_dict(sd)
+    sd = dict(twin.state_dict())
+    del sd["U_net.out_fc.weight"]
+    with pytest.raises(ValueError, match="missing"):
+        convert_torch_state_dict(sd)
+
+
+def test_export_roundtrip_and_torch_strict_load(twin_and_model, rng):
+    """Our params -> reference-named state_dict -> torch strict load; and the
+    re-import reproduces the tree exactly."""
+    twin, model = twin_and_model
+    field, pe_in, cd, fh = _inputs(rng)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(field),
+                           jnp.asarray(pe_in), jnp.asarray(cd),
+                           jnp.asarray([[fh]], jnp.float32))
+
+    sd = export_torch_state_dict(variables)
+    twin.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                         strict=True)
+
+    back = convert_torch_state_dict(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b[path])
+
+
+def test_import_cli_executes(tmp_path):
+    """tools/import_torch_checkpoint.py end-to-end: reference .pth in,
+    resumable checkpoint out, shape-validated against the config's model."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from deepphysinet_tpu.train.checkpoint import load_checkpoint
+
+    meta = dict(enc_in=170, c_out=64, d_model=64, n_heads=4, e_layers=2,
+                d_ff=64, activation="gelu", learnable_token_num=16)
+    net = dict(in_channels=192, hidden_channels=64, learnable_token_num=32)
+    torch.manual_seed(0)
+    twin = _RefPhysicsNet(meta, net)
+    pth = str(tmp_path / "physics_latest.pth")
+    torch.save({"model": twin.state_dict(), "epoch": 5, "gobal_step": 123}, pth)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = str(tmp_path / "imported")
+    env = dict(os.environ, DPN_PLATFORM="cpu")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "import_torch_checkpoint.py"),
+         "--torch_checkpoint", pth,
+         "--config_file", os.path.join(repo, "configs", "smoke_cpu_cfg.py"),
+         "--output", out_dir],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["epoch"] == 5 and info["gobal_step"] == 123
+
+    state, epoch, step = load_checkpoint(out_dir, prefix="physics")
+    assert step == 123 and epoch == 6  # load returns next_epoch
+    want = convert_torch_state_dict(twin.state_dict())
+    got = state["model"]
+    np.testing.assert_allclose(
+        np.asarray(got["params"]["meta_net"]["projection"]["kernel"]),
+        want["params"]["meta_net"]["projection"]["kernel"], rtol=0, atol=0)
+
+
+def test_export_cli_executes(tmp_path):
+    """tools/export_torch_checkpoint.py: our checkpoint -> reference .pth that
+    the reference-named twin strict-loads."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from deepphysinet_tpu.train.checkpoint import save_checkpoint
+
+    meta = dict(enc_in=170, c_out=64, d_model=64, n_heads=4, e_layers=2,
+                d_ff=64, activation="gelu", learnable_token_num=16)
+    net = dict(in_channels=192, hidden_channels=64, learnable_token_num=32)
+    model = PhysicsNet(meta_cfg=meta, net_cfg=net)
+    variables = model.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 159, 170), jnp.float32),
+        jnp.zeros((2, 192), jnp.float32), jnp.zeros((2, 6), jnp.float32),
+        jnp.asarray([[0.1]], jnp.float32))
+    ckpt_dir = str(tmp_path / "ours")
+    save_checkpoint(ckpt_dir, 4, 99, variables)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "exported.pth")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "export_torch_checkpoint.py"),
+         "--config_file", os.path.join(repo, "configs", "smoke_cpu_cfg.py"),
+         "--checkpoint", ckpt_dir, "--output", out],
+        capture_output=True, text=True,
+        env=dict(os.environ, DPN_PLATFORM="cpu"), cwd=repo, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["epoch"] == 4 and info["gobal_step"] == 99
+
+    bundle = torch.load(out, weights_only=True)
+    twin = _RefPhysicsNet(meta, net)
+    twin.load_state_dict(bundle["model"], strict=True)
+
+
+def test_import_checkpoint_bundle(twin_and_model, tmp_path):
+    """Full .pth bundle (reference interface_physics.py:53-62 format)."""
+    twin, _ = twin_and_model
+    path = str(tmp_path / "physics_latest.pth")
+    torch.save({"model": twin.state_dict(), "epoch": 3, "gobal_step": 77,
+                "lr": 1e-4}, path)
+    variables, epoch, step = import_torch_checkpoint(path)
+    assert epoch == 3 and step == 77
+    assert "variable_nets" in variables["params"]
