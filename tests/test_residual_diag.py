@@ -95,6 +95,47 @@ def test_evaluate_residuals_kernel_matches_jvp(diag_setup):
         assert ker[k] == pytest.approx(ref[k], rel=2e-2), eq
 
 
+def test_residuals_cli_with_maps(tmp_path):
+    """tools/evaluate.py --residuals --save_maps end-to-end: JSON metrics out,
+    six per-equation jpg maps rendered."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from deepphysinet_tpu.config import Config
+    from deepphysinet_tpu.interface.build import builder_models
+    from deepphysinet_tpu.train.checkpoint import save_checkpoint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_file = os.path.join(repo, "configs", "smoke_cpu_cfg.py")
+    cfg = Config.fromfile(cfg_file)
+    interface = builder_models(**cfg["config"])
+    meta = interface.physics_net.meta_cfg
+    net = interface.physics_net.net_cfg
+    variables = interface.physics_net.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, int(net["token_num"]), int(meta["enc_in"])), jnp.float32),
+        jnp.zeros((2, int(net["in_channels"])), jnp.float32),
+        jnp.zeros((2, 6), jnp.float32), jnp.asarray([[0.1]], jnp.float32))
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, 0, 1, variables)
+
+    maps_dir = str(tmp_path / "maps")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "evaluate.py"),
+         "--config_file", cfg_file, "--checkpoint", ckpt_dir,
+         "--residuals", "--max_windows", "1", "--save_maps", maps_dir],
+        capture_output=True, text=True,
+        env=dict(os.environ, DPN_PLATFORM="cpu"), cwd=repo, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-1])
+    for eq in EQ_NAMES:
+        assert np.isfinite(metrics[f"residual_mse_{eq}"])
+        path = os.path.join(maps_dir, f"residual_{eq}.jpg")
+        assert os.path.exists(path) and os.path.getsize(path) > 1000, eq
+
+
 def test_residual_field_maps(diag_setup):
     model, params, cfg, dataset, (h, w) = diag_setup
     maps = residual_field_maps(model, params, cfg, dataset, window=0, hour=0,

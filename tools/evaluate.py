@@ -36,6 +36,12 @@ def main():
                         help="physics-consistency mode: per-equation PDE "
                              "residual MSEs over the full label grid instead "
                              "of RMSE vs labels")
+    parser.add_argument("--save_maps", type=str, default=None, metavar="DIR",
+                        help="with --residuals: also render per-equation "
+                             "squared-residual maps (log10) for one window/"
+                             "hour as jpgs into DIR")
+    parser.add_argument("--map_window", type=int, default=0)
+    parser.add_argument("--map_hour", type=int, default=0)
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -74,6 +80,26 @@ def main():
             interface.physics_net, params, step_cfg, dataset,
             max_windows=args.max_windows,
         )
+        if args.save_maps:
+            import numpy as np
+
+            from deepphysinet_tpu.eval.residuals import residual_field_maps
+            from deepphysinet_tpu.utils.vis import VisUtils
+
+            maps = residual_field_maps(
+                interface.physics_net, params, step_cfg, dataset,
+                window=args.map_window, hour=args.map_hour)
+            vis_cfg = dict(tc["log"].get("vis_downscale_cfg", {}))
+            vis_cfg.setdefault("landsea_file", os.path.join(
+                dataset.constant_path, "landsea.tiff"))
+            vis = VisUtils(**vis_cfg)
+            for eq, m in maps.items():
+                out = os.path.join(args.save_maps, f"residual_{eq}.jpg")
+                # squared residuals span many decades -> log10 render
+                vis.forward(np.log10(m + 1e-30), out,
+                            title=f"log10 squared {eq} residual "
+                                  f"(w{args.map_window} h{args.map_hour})")
+            metrics["maps_dir"] = os.path.abspath(args.save_maps)
     elif args.full_grid:
         metrics = evaluate_rmse_fullgrid(
             interface.physics_net, params, step_cfg, dataset,
