@@ -12,15 +12,11 @@ import tempfile
 
 _ROOT = os.environ.get("DPN_SMOKE_DATA", os.path.join(tempfile.gettempdir(), "dpn_smoke_data"))
 
-from deepphysinet_tpu.data.synthetic import synthetic_tree_is_current
+from deepphysinet_tpu.data.synthetic import ensure_synthetic_tree
 
-if not synthetic_tree_is_current(_ROOT):
-    import shutil
-
-    from deepphysinet_tpu.data.synthetic import generate_synthetic_dataset
-
-    shutil.rmtree(_ROOT, ignore_errors=True)  # stale generator version
-    generate_synthetic_dataset(_ROOT, n_init_times=3, bbox=(72.0, 18.0, 88.0, 27.0))
+# regenerates iff stale; flock-serialized (multi-process launches import this
+# config concurrently)
+ensure_synthetic_tree(_ROOT, n_init_times=3, bbox=(72.0, 18.0, 88.0, 27.0))
 
 # synthetic study area: 1 deg grid 10x17 -> enc_in 170; 0.25 deg grid 37x65
 mode = "train"

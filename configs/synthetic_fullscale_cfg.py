@@ -14,15 +14,11 @@ _ROOT = os.environ.get(
     "DPN_FULLSYNTH_DATA", os.path.join(tempfile.gettempdir(), "dpn_fullsynth_data")
 )
 
-from deepphysinet_tpu.data.synthetic import synthetic_tree_is_current
+from deepphysinet_tpu.data.synthetic import ensure_synthetic_tree
 
-if not synthetic_tree_is_current(_ROOT):
-    import shutil
-
-    from deepphysinet_tpu.data.synthetic import generate_synthetic_dataset
-
-    shutil.rmtree(_ROOT, ignore_errors=True)  # stale generator version
-    generate_synthetic_dataset(_ROOT, n_init_times=4, bbox=(72.0, 18.0, 136.0, 54.0))
+# regenerates iff stale; flock-serialized (multi-process launches import this
+# config concurrently)
+ensure_synthetic_tree(_ROOT, n_init_times=4, bbox=(72.0, 18.0, 136.0, 54.0))
 
 mode = "train"
 img_size = (145, 257)

@@ -61,6 +61,33 @@ def synthetic_tree_is_current(root: str) -> bool:
         return False
 
 
+def ensure_synthetic_tree(root: str, **gen_kwargs) -> None:
+    """Regenerate ``root`` iff stale, safely across concurrent processes.
+
+    Configs call this at import time, and multi-process launches (e.g. the
+    2-process trainer test) import the same config concurrently: without a
+    lock, both processes could see a stale tree and rmtree the files the
+    other is mid-writing.  An exclusive flock on ``<root>.lock`` serializes
+    the stale-check + rmtree + generate; the version marker is written last
+    by the generator, so a killed regeneration stays "stale" and is redone."""
+    import fcntl
+    import os as _os
+    import shutil
+
+    if synthetic_tree_is_current(root):
+        return
+    _os.makedirs(_os.path.dirname(_os.path.abspath(root)) or ".", exist_ok=True)
+    with open(root.rstrip("/\\") + ".lock", "w") as lock_fp:
+        fcntl.flock(lock_fp, fcntl.LOCK_EX)
+        try:
+            if synthetic_tree_is_current(root):  # a peer regenerated first
+                return
+            shutil.rmtree(root, ignore_errors=True)  # stale generator version
+            generate_synthetic_dataset(root, **gen_kwargs)
+        finally:
+            fcntl.flock(lock_fp, fcntl.LOCK_UN)
+
+
 # per-level (1000/925/850/700/500 hPa) means where the vertical structure
 # matters: GHT must ascend hydrostatically (vertical-interpolation products
 # -- slp/t2/10m winds -- extrapolate over it), TT follows a lapse rate, QQ

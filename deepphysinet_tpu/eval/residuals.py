@@ -63,9 +63,8 @@ def _grid_geometry(dataset):
     H, W = dataset.label_lat_size, dataset.label_lon_size
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     xf, yf = xs.reshape(-1), ys.reshape(-1)
-    fine = float(dataset.out_lon[1] - dataset.out_lon[0])
-    lon = dataset.begin_lon + xf * fine
-    lat = dataset.begin_lat + yf * fine
+    lon = dataset.begin_lon + xf * float(dataset.out_lon[1] - dataset.out_lon[0])
+    lat = dataset.begin_lat + yf * float(dataset.out_lat[1] - dataset.out_lat[0])
     return H, W, xf, yf, lon, lat
 
 

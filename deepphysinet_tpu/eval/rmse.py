@@ -43,9 +43,8 @@ def _cube_eval_item(dataset, w: int, n: int, rng) -> dict:
     ys = rng.randint(0, Hl, n)
     slot = rng.randint(0, Tl, n)
     lts = float(dataset.label_time_step)
-    fine = float(dataset.out_lon[1] - dataset.out_lon[0])
-    lon = dataset.begin_lon + xs * fine
-    lat = dataset.begin_lat + ys * fine
+    lon = dataset.begin_lon + xs * float(dataset.out_lon[1] - dataset.out_lon[0])
+    lat = dataset.begin_lat + ys * float(dataset.out_lat[1] - dataset.out_lat[0])
     t_h = slot * lts
     return {
         "field_data": item_c["field_data"],
@@ -148,8 +147,12 @@ def evaluate_rmse_fullgrid(
     H, W = dataset.label_lat_size, dataset.label_lon_size
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
     xf, yf = xs.reshape(-1), ys.reshape(-1)
-    lon = dataset.begin_lon + xf * 0.25
-    lat = dataset.begin_lat + yf * 0.25
+    # label-grid spacing from the dataset's own coord arrays (NOT a hardcoded
+    # 0.25: any fine-grid resolution must place points where its labels live)
+    fine_lon = float(dataset.out_lon[1] - dataset.out_lon[0])
+    fine_lat = float(dataset.out_lat[1] - dataset.out_lat[0])
+    lon = dataset.begin_lon + xf * fine_lon
+    lat = dataset.begin_lat + yf * fine_lat
     x_m = jnp.asarray(xf * dataset.dx, jnp.float32)
     y_m = jnp.asarray(yf * dataset.dy, jnp.float32)
     lts = int(dataset.label_time_step)

@@ -26,6 +26,7 @@ axon tunnel cost tens of seconds each).
 from __future__ import annotations
 
 import datetime
+import math
 import os
 import time
 from typing import Dict, Iterator, Optional
@@ -303,6 +304,9 @@ class InterfacePhysics:
         # validation: through the mesh-sharded eval step when a mesh exists
         # (global batch = the scaled window batch), unsharded otherwise
         valid_batch = (batch_size if mesh is not None else tc["batch_size"])
+        if mesh is not None:
+            valid_batch = self._feasible_valid_batch(
+                len(valid_dataset), valid_batch, mesh.shape["data"], nproc)
         valid_loader = PrefetchLoader(
             valid_dataset, valid_batch // nproc, shuffle=True, drop_last=True,
             num_workers=1, shard_id=rank, num_shards=nproc,
@@ -366,6 +370,8 @@ class InterfacePhysics:
         # physics_latest (the reference can only resume from epoch boundaries).
         preempted = {"flag": False}
         self._install_preemption_handler(preempted)
+        # multi-process flag-agreement cadence (see _agreed_preemption)
+        preempt_check = int(tc.get("tpu", {}).get("preempt_check_step", 20))
         # epoch saves off the loop thread (same policy as the device loop).
         # Multi-process: synchronous rank-0 saves only -- the async snapshot
         # (jnp.copy of global arrays) would be a device computation issued by
@@ -456,7 +462,8 @@ class InterfacePhysics:
                                               os.path.join(vis_path, "train_results"),
                                               global_step, with_pde)
 
-                    if self._agreed_preemption(preempted, nproc):
+                    if self._agreed_preemption(preempted, nproc, global_step,
+                                               preempt_check):
                         if is_main:
                             self._preemption_save(async_ckpt, checkpoint_path, epoch,
                                                   global_step, state, **meta_kwargs)
@@ -604,7 +611,35 @@ class InterfacePhysics:
             pass
 
     @staticmethod
-    def _agreed_preemption(preempted: dict, nproc: int) -> bool:
+    def _feasible_valid_batch(valid_len: int, valid_batch: int,
+                              data_axis: int, nproc: int) -> int:
+        """Clamp the mesh-path validation batch to what the split can fill.
+
+        The mesh path scales the valid batch to the global window batch; a
+        small valid split with ``drop_last=True`` would then yield ZERO
+        batches and validation would silently vanish for the whole run.
+        Clamp to the largest multiple of lcm(data_axis, nproc) — the batch
+        must shard evenly over the mesh's data axis AND split evenly into
+        per-process row counts — that the split can fill.  A split smaller
+        than even one such batch keeps the scaled granule so the empty
+        loader is skipped by the caller's ``len(valid_loader) > 0`` guard,
+        with a warning either way."""
+        g = math.lcm(data_axis, nproc)
+        feasible = (valid_len // g) * g
+        if feasible >= valid_batch:
+            return valid_batch
+        if feasible == 0:
+            print(f"warning: valid split has {valid_len} windows < {g} "
+                  "(mesh data axis x processes); interleaved validation "
+                  "disabled")
+            return g  # empty loader -> the >0 guard skips it
+        print(f"warning: valid window batch clamped {valid_batch} -> "
+              f"{feasible} (valid split has only {valid_len} windows)")
+        return feasible
+
+    @staticmethod
+    def _agreed_preemption(preempted: dict, nproc: int, global_step: int = 0,
+                           check_every: int = 20) -> bool:
         """Cross-process agreement on the preemption flag.
 
         SIGTERM delivery is per-process: if rank 0 stopped the moment its own
@@ -612,9 +647,18 @@ class InterfacePhysics:
         collective step, the survivors would block forever inside that
         collective.  Every rank therefore all-gathers its local flag at the
         same loop point and they stop together iff ANY rank was signalled.
-        Single-process: just the local flag (no collective cost)."""
+
+        The all-gather is a device round-trip, so it runs only every
+        ``check_every`` steps (``train_cfg.tpu.preempt_check_step``) -- the
+        cadence condition depends only on ``global_step``, which is lockstep
+        across processes, so every rank still enters the collective at the
+        same steps.  Worst-case added preemption latency is check_every
+        steps (~0.1 s at the 5 ms production step), well inside any grace
+        window.  Single-process: just the local flag, every step, free."""
         if nproc <= 1:
             return bool(preempted["flag"])
+        if check_every > 1 and global_step % check_every != 0:
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
@@ -717,6 +761,9 @@ class InterfacePhysics:
         steps_since_log = 0
         preempted = {"flag": False}
         self._install_preemption_handler(preempted)
+        # multi-process flag-agreement cadence (see _agreed_preemption)
+        preempt_check = int(self.train_cfg.get("tpu", {}).get(
+            "preempt_check_step", 20))
         async_log = _AsyncLogger()  # tunnel fetches off the dispatch loop
         # epoch-boundary saves off the hot loop too (tpu.async_ckpt=False for
         # strictly synchronous saves); preemption/final saves stay synchronous
@@ -750,26 +797,29 @@ class InterfacePhysics:
         cache_cap = int(self.train_cfg.get("tpu", {}).get("device_cube_cache", 8))
 
         def to_device_cube(data) -> "CubeBatch":
+            """Window cubes in their FINAL device placement, cached.
+
+            The cache holds the globalized/sharded device arrays (the step
+            does not donate them), so a cached window costs zero host->device
+            traffic on re-visits -- including multi-process mode, where the
+            globalizing put consumes this process's local numpy rows exactly
+            once per window."""
             key = tuple(data["input_file"])
             if key in cube_cache:
                 cube_cache.move_to_end(key)
                 return cube_cache[key]
-            if nproc > 1:
-                # keep on host: the globalizing put consumes process-local
-                # numpy (each process contributes its window rows)
-                cube = CubeBatch(
-                    field=np.asarray(data["field_data"], np.float32),
-                    forecast_h=np.asarray(data["forecast_h"], np.float32).reshape(-1),
-                    nwp_cube=np.asarray(data["nwp_cube"], np.float32),
-                    label_cube=np.asarray(data["label_cube"], np.float32),
-                )
+            cube = CubeBatch(
+                field=np.asarray(data["field_data"], np.float32),
+                forecast_h=np.asarray(data["forecast_h"], np.float32).reshape(-1),
+                nwp_cube=np.asarray(data["nwp_cube"], np.float32),
+                label_cube=np.asarray(data["label_cube"], np.float32),
+            )
+            if data_sharding is not None:
+                from deepphysinet_tpu.parallel.mesh import put_sharded
+
+                cube = CubeBatch(*(put_sharded(x, data_sharding) for x in cube))
             else:
-                cube = CubeBatch(
-                    field=jnp.asarray(data["field_data"], jnp.float32),
-                    forecast_h=jnp.asarray(data["forecast_h"], jnp.float32).reshape(-1),
-                    nwp_cube=jnp.asarray(data["nwp_cube"], jnp.float32),
-                    label_cube=jnp.asarray(data["label_cube"], jnp.float32),
-                )
+                cube = CubeBatch(*(jnp.asarray(x) for x in cube))
             cube_cache[key] = cube
             if len(cube_cache) > cache_cap:
                 cube_cache.popitem(last=False)
@@ -794,10 +844,6 @@ class InterfacePhysics:
                         global_step >= self.pde_start_step
                     global_step += 1
                     cube = to_device_cube(data)
-                    if data_sharding is not None:
-                        from deepphysinet_tpu.parallel.mesh import put_sharded
-
-                        cube = CubeBatch(*(put_sharded(x, data_sharding) for x in cube))
                     key, sub = jax.random.split(key)
                     if nproc > 1:
                         # identical host value on every process -> the jit
@@ -865,7 +911,8 @@ class InterfacePhysics:
                                         summary.add_scalar(f"validation/{k}", v, global_step)
 
                         async_log.submit(log_job)
-                    if self._agreed_preemption(preempted, nproc):
+                    if self._agreed_preemption(preempted, nproc, global_step,
+                                               preempt_check):
                         async_log.wait()  # pending log fetches land first
                         if is_main:
                             self._preemption_save(async_ckpt, checkpoint_path, epoch,

@@ -513,6 +513,46 @@ def fuse_decode_weights(w: DecodeWeights) -> FusedDecodeWeights:
     )
 
 
+def _v4_epilogue(
+    p, t16, CD, ref_col,
+    w2f1_v, wdf1_v, rbias_v, fw2_v, w2wo_v, wdwo_v, obias_v,
+    *, block_n: int, cdt,
+):
+    """Collapsed-algebra tail after the first relu: second relu stage + the
+    lane reductions producing one variable's primal and tangent rows.
+
+    ONE implementation shared by every v4-algebra kernel (_decode_kernel_v4,
+    _residual_kernel_v4 via _v4_var_column, and _decode_kernel_v4pe, whose
+    layer-1/t16 prep differs) -- a numerics change here reaches all of them.
+    Returns ``(o [Nb], to [3, Nb])`` in f32.
+    """
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    rp = dot(p.astype(cdt), w2f1_v) + dot(CD, wdf1_v) + rbias_v[None, :]  # [Nb, hid]
+    rt = dot(t16, w2f1_v)  # [3Nb, hid]
+    maskr = rp > 0
+    pr = jnp.maximum(rp, 0.0)
+    tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
+
+    fw2 = fw2_v[None, :].astype(f32)
+    w2wo = w2wo_v[None, :].astype(f32)
+    wdwo = wdwo_v[None, :].astype(f32)
+    o = (
+        jnp.sum(pr * fw2, axis=-1)
+        + 2.0 * (jnp.sum(p * w2wo, axis=-1) + jnp.sum(CD.astype(f32) * wdwo, axis=-1))
+        + obias_v
+        + ref_col
+    )  # [Nb]
+    to = (jnp.sum(tr * fw2, axis=-1)
+          + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))  # [3Nb]
+    return o, to.reshape(3, block_n)
+
+
 def _v4_var_column(
     P_in, T_in, CD, ref_col,
     w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
@@ -540,25 +580,11 @@ def _v4_var_column(
         [jnp.where(mask, dot(T_in[k], w1c_ref[v, k]), 0.0).astype(cdt)
          for k in range(3)], axis=0)  # [3Nb, hid]
 
-    rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) \
-        + rbias_ref[v][None, :]  # [Nb, hid]
-    rt = dot(t16, w2f1_ref[v])  # [3Nb, hid]
-    maskr = rp > 0
-    pr = jnp.maximum(rp, 0.0)
-    tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
-
-    fw2 = fw2_ref[v][None, :].astype(f32)
-    w2wo = w2wo_ref[v][None, :].astype(f32)
-    wdwo = wdwo_ref[v][None, :].astype(f32)
-    o = (
-        jnp.sum(pr * fw2, axis=-1)
-        + 2.0 * (jnp.sum(p * w2wo, axis=-1) + jnp.sum(CD.astype(f32) * wdwo, axis=-1))
-        + obias_ref[v]
-        + ref_col
-    )  # [Nb]
-    to = (jnp.sum(tr * fw2, axis=-1)
-          + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))  # [3Nb]
-    return o, to.reshape(3, block_n)
+    return _v4_epilogue(
+        p, t16, CD, ref_col,
+        w2f1_ref[v], wdf1_ref[v], rbias_ref[v], fw2_ref[v], w2wo_ref[v],
+        wdwo_ref[v], obias_ref[v], block_n=block_n, cdt=cdt,
+    )
 
 
 def _decode_kernel_v4(
@@ -959,26 +985,13 @@ def _decode_kernel_v4pe(
                        0.0).astype(cdt)
              for k in range(3)], axis=0)  # [3Nb, hid]
 
-        rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) \
-            + rbias_ref[v][None, :]
-        rt = dot(t16, w2f1_ref[v])
-        maskr = rp > 0
-        pr = jnp.maximum(rp, 0.0)
-        tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
-
-        fw2 = fw2_ref[v][None, :].astype(f32)
-        w2wo = w2wo_ref[v][None, :].astype(f32)
-        o = (
-            jnp.sum(pr * fw2, axis=-1)
-            + 2.0 * (jnp.sum(p * w2wo, axis=-1)
-                     + jnp.sum(CD.astype(f32) * wdwo_ref[v][None, :], axis=-1))
-            + obias_ref[v]
-            + ref_ref[:, v]
+        o, to = _v4_epilogue(
+            p, t16, CD, ref_ref[:, v],
+            w2f1_ref[v], wdf1_ref[v], rbias_ref[v], fw2_ref[v], w2wo_ref[v],
+            wdwo_ref[v], obias_ref[v], block_n=block_n, cdt=cdt,
         )
-        to = (jnp.sum(tr * fw2, axis=-1)
-              + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))
         primal_cols.append(o[:, None])
-        tang_cols.append(to.reshape(3, block_n)[:, :, None])
+        tang_cols.append(to[:, :, None])
 
     primal_ref[...] = jnp.concatenate(primal_cols, axis=-1)
     tang_ref[...] = jnp.concatenate(tang_cols, axis=-1)

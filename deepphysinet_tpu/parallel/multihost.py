@@ -15,6 +15,22 @@ import os
 from typing import Optional
 
 
+_COORDINATOR_HINTS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                      "MEGASCALE_COORDINATOR_ADDRESS")
+
+
+def _env_hints_multiprocess() -> bool:
+    """True when the environment says this is a multi-process launch.
+
+    A coordinator address in the env means a launcher manages this job; a
+    multi-entry TPU_WORKER_HOSTNAMES means a pod slice (a single-host TPU VM
+    also sets it, with one entry -- that stays single-controller)."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    return any(h in os.environ for h in _COORDINATOR_HINTS)
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -32,22 +48,29 @@ def initialize_distributed(
     # resolve the env-var configuration FIRST so a latched backend raises for
     # env-launched multi-process jobs exactly like for explicit arguments
     # (silently degrading to single-controller would let N hosts train
-    # independently while clobbering one shared checkpoint path)
+    # independently while clobbering one shared checkpoint path).  This
+    # includes the coordinator-address hints: a launcher may set only those,
+    # without JAX_NUM_PROCESSES.
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if num_processes is not None and num_processes <= 1:
         return
+    multiproc_intent = (
+        (num_processes is not None and num_processes > 1)
+        or coordinator_address is not None
+        or _env_hints_multiprocess()
+    )
     try:
         from jax._src import xla_bridge
 
         if xla_bridge.backends_are_initialized():
             # too late to join a multi-process job: the backend is latched
             # (e.g. the interface was built first); proceed single-controller
-            if num_processes and num_processes > 1:
+            if multiproc_intent:
                 raise RuntimeError(
                     "jax backend already initialized before "
-                    "initialize_distributed(num_processes>1); call it before "
-                    "building the interface (as train.py --dist does)")
+                    "initialize_distributed() of a multi-process job; call it "
+                    "before building the interface (as train.py --dist does)")
             return
     except ImportError:  # pragma: no cover - private API moved
         pass
@@ -55,9 +78,7 @@ def initialize_distributed(
         # no explicit args: only attempt auto-detection when the environment
         # says this is a multi-process job (TPU pod / launcher env), so a
         # plain single-host `--dist` run stays a no-op
-        hints = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                 "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
-        if not any(h in os.environ for h in hints):
+        if not multiproc_intent:
             return
         coordinator_address = (os.environ.get("JAX_COORDINATOR_ADDRESS")
                                or os.environ.get("COORDINATOR_ADDRESS"))

@@ -210,3 +210,28 @@ def test_async_worker_close_idempotent_and_latch():
     with _pytest.raises(ValueError):
         w2.close()
     w2.close_quietly()  # after the latch was consumed: silent
+
+
+def test_feasible_valid_batch_clamps(capsys):
+    # split fills the scaled batch -> unchanged
+    assert InterfacePhysics._feasible_valid_batch(64, 8, 4, 1) == 8
+    # split smaller than the scaled batch -> largest shardable multiple
+    assert InterfacePhysics._feasible_valid_batch(5, 8, 4, 1) == 4
+    assert "clamped 8 -> 4" in capsys.readouterr().out
+    # multi-process: granule is lcm(data_axis, nproc)
+    assert InterfacePhysics._feasible_valid_batch(13, 16, 4, 2) == 12
+    # split smaller than one granule -> keep granule, warn; drop_last then
+    # yields an empty loader and the caller's >0 guard skips validation
+    assert InterfacePhysics._feasible_valid_batch(3, 8, 4, 2) == 4
+    assert "validation disabled" in capsys.readouterr().out
+
+
+def test_agreed_preemption_single_process_and_cadence():
+    # single process: local flag, every step
+    assert not InterfacePhysics._agreed_preemption({"flag": False}, 1)
+    assert InterfacePhysics._agreed_preemption({"flag": True}, 1)
+    # multi-process off-cadence steps skip the collective entirely (returns
+    # False without importing multihost_utils -- the flag check waits for the
+    # next cadence step, which is lockstep across processes)
+    assert not InterfacePhysics._agreed_preemption(
+        {"flag": True}, 2, global_step=7, check_every=20)
