@@ -55,12 +55,38 @@ class TorchDense(nn.Module):
         return y
 
 
+class _ProjParams(nn.Module):
+    """Parameter-only twin of TorchDense: declares the same kernel/bias tree
+    (so checkpoints and the torch import map are layout-identical) without
+    binding them to a matmul -- the caller fuses several projections into one
+    MXU launch."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", torch_kernel_init, (self.in_features, self.features), jnp.float32)
+        self.bias = self.param(
+            "bias", torch_bias_init(self.in_features), (self.features,), jnp.float32)
+
+    def __call__(self):  # pragma: no cover - params accessed directly
+        raise NotImplementedError
+
+
 class AttentionLayer(nn.Module):
     """QKV projection + attention + output projection (attn.py:161-196).
 
     ``attn_type='full'`` (default) runs the fused Pallas/XLA full attention;
     ``attn_type='prob'`` selects the Informer ProbSparse variant the reference
     keeps available (model/attn.py:71-158) for long token sequences.
+
+    ``fused_qkv=True`` computes q/k/v in ONE [L, d] x [d, 3d] matmul (the
+    kernels are concatenated at apply time; the parameter tree keeps the three
+    reference-named projections, so checkpoints are interchangeable): XLA does
+    not horizontally merge separate gemms, and at encoder dims (287x512
+    tokens) three skinny MXU launches schedule worse than one wide one in the
+    training step, where encode is not overlapped with PE prep.
     """
 
     d_model: int
@@ -68,15 +94,32 @@ class AttentionLayer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     attn_type: str = "full"
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, l, _ = x.shape
         h = self.n_heads
         e = self.d_model // h
-        q = TorchDense(self.d_model, self.compute_dtype, name="query_projection")(x)
-        k = TorchDense(self.d_model, self.compute_dtype, name="key_projection")(x)
-        v = TorchDense(self.d_model, self.compute_dtype, name="value_projection")(x)
+        if self.fused_qkv:
+            d_in = x.shape[-1]
+            projs = [
+                _ProjParams(d_in, self.d_model, name=nm)
+                for nm in ("query_projection", "key_projection", "value_projection")
+            ]
+            w = jnp.concatenate([p.kernel for p in projs], axis=1)  # [d, 3d]
+            bias = jnp.concatenate([p.bias for p in projs])  # [3d]
+            qkv = jnp.einsum(
+                "...d,df->...f",
+                x.astype(self.compute_dtype),
+                w.astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.compute_dtype) + bias.astype(self.compute_dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = TorchDense(self.d_model, self.compute_dtype, name="query_projection")(x)
+            k = TorchDense(self.d_model, self.compute_dtype, name="key_projection")(x)
+            v = TorchDense(self.d_model, self.compute_dtype, name="value_projection")(x)
         q = q.reshape(b, l, h, e).astype(self.compute_dtype)
         k = k.reshape(b, l, h, e).astype(self.compute_dtype)
         v = v.reshape(b, l, h, e).astype(self.compute_dtype)
@@ -104,12 +147,13 @@ class EncoderLayer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     attn_type: str = "full"
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         new_x = AttentionLayer(
             self.d_model, self.n_heads, self.compute_dtype, self.attn_impl,
-            self.attn_type, name="attention"
+            self.attn_type, self.fused_qkv, name="attention"
         )(x)
         x = x + new_x
         y = x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
@@ -169,6 +213,7 @@ class TransformerNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     attn_type: str = "full"
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x_enc: jnp.ndarray, forecast_h: jnp.ndarray) -> jnp.ndarray:
@@ -187,6 +232,7 @@ class TransformerNet(nn.Module):
                 self.compute_dtype,
                 self.attn_impl,
                 self.attn_type,
+                self.fused_qkv,
                 name=f"layer_{i}",
             )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)

@@ -100,3 +100,25 @@ def test_variable_nets_params_stacked(model_and_params):
 
 def test_variable_order():
     assert VARIABLE_ORDER == ("u", "v", "p", "T", "q", "rio")
+
+
+def test_fused_qkv_parity():
+    """fused_qkv=True must keep the exact parameter tree (checkpoint/torch
+    interchange) and match the unfused encoder's outputs and gradients."""
+    kw = dict(enc_in=40, c_out=16, d_model=32, n_heads=4, e_layers=2,
+              d_ff=64, learnable_token_num=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 40), jnp.float32)
+    fh = jnp.ones((2, 1), jnp.float32)
+    m0 = TransformerNet(**kw)
+    m1 = TransformerNet(fused_qkv=True, **kw)
+    p0 = m0.init(jax.random.PRNGKey(0), x, fh)
+    p1 = m1.init(jax.random.PRNGKey(0), x, fh)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    y0, y1 = m0.apply(p0, x, fh), m1.apply(p0, x, fh)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, x, fh) ** 2))(p0)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, fh) ** 2))(p0)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
