@@ -516,9 +516,50 @@ class InterfacePhysics:
 
     _MAX_CONSECUTIVE_VALID_FAILURES = 3
 
-    def _device_mode_validation(self, valid_dataset, cfg, state, with_pde,
-                                fetch: bool = True):
-        """One host-sampled validation batch for the device-sampling loop.
+    def _device_valid_cube(self, valid_dataset, idx, sharding=None):
+        """Device-resident cube for valid window ``idx``, LRU-cached.
+
+        Valid windows revisit every log_step, so their cubes transfer once
+        (through the tunnel, ~22 MB each at production scale) and then live
+        on device; the cap bounds HBM for large valid splits."""
+        from collections import OrderedDict
+
+        from deepphysinet_tpu.train.device_sampling import CubeBatch
+
+        if not hasattr(self, "_valid_cubes"):
+            self._valid_cubes: "OrderedDict" = OrderedDict()
+        cache = self._valid_cubes
+        if idx in cache:
+            cache.move_to_end(idx)
+            return cache[idx]
+        item = valid_dataset.get_cube_item(idx)
+        cube = CubeBatch(
+            field=np.asarray(item["field_data"], np.float32)[None],
+            forecast_h=np.asarray(item["forecast_h"], np.float32).reshape(1),
+            nwp_cube=np.asarray(item["nwp_cube"], np.float32)[None],
+            label_cube=np.asarray(item["label_cube"], np.float32)[None],
+        )
+        if sharding is None:
+            cube = CubeBatch(*(jnp.asarray(x) for x in cube))
+        else:
+            from deepphysinet_tpu.parallel.mesh import put_sharded
+
+            cube = CubeBatch(*(put_sharded(x, sharding) for x in cube))
+        cache[idx] = cube
+        if len(cache) > 4:
+            cache.popitem(last=False)
+        return cube
+
+    def _device_mode_validation(self, valid_dataset, cfg, scfg, state,
+                                with_pde, fetch: bool = True):
+        """One device-sampled validation window for the device-sampling loop.
+
+        Points are drawn ON-DEVICE from the cached window cube with a FIXED
+        key: repeated validations score the same points (deterministic valid
+        curves) at zero recurring host cost.  The previous design re-ran the
+        host dataloader's point sampling (``valid_dataset[idx]``, ~1 s of
+        numpy work) every call -- paid every log_step, it capped the device
+        loop's e2e fps well below the step rate (docs/PERF.md round-3 (h)).
 
         ``fetch=False`` returns the device metric arrays without the tunnel
         fetch (dispatch must stay on the training thread: the eval reads
@@ -531,14 +572,19 @@ class InterfacePhysics:
         """
         try:
             if not hasattr(self, "_valid_eval_step"):
-                self._valid_eval_step = make_eval_step(self.physics_net, cfg)
+                from deepphysinet_tpu.train.device_sampling import (
+                    make_device_sampling_eval_step)
+
+                self._valid_eval_step = make_device_sampling_eval_step(
+                    self.physics_net, cfg, scfg)
                 self._valid_item = 0
                 self._valid_failures = 0
-            item = valid_dataset[self._valid_item % len(valid_dataset)]
+                self._valid_key = jax.random.PRNGKey(7919)
+            idx = self._valid_item % len(valid_dataset)
             self._valid_item += 1
-            out = self._valid_eval_step(state.params, self._to_batch(
-                {k: (np.asarray(v)[None] if not isinstance(v, str) else [v])
-                 for k, v in item.items() if k != "input_file"}), with_pde)
+            cube = self._device_valid_cube(valid_dataset, idx)
+            out = self._valid_eval_step(state.params, cube, self._valid_key,
+                                        with_pde)
             if fetch:
                 out = self._fetch_metrics(out)
             self._valid_failures = 0
@@ -554,38 +600,65 @@ class InterfacePhysics:
                   f"{self._valid_failures}/{self._MAX_CONSECUTIVE_VALID_FAILURES}")
             return None
 
-    def _device_mode_validation_dist(self, valid_dataset, cfg, state,
+    def _device_mode_validation_dist(self, valid_dataset, cfg, scfg, state,
                                      with_pde, mesh, nproc, rank):
         """Multi-process device-mode validation: a COLLECTIVE over the mesh.
 
-        Every rank assembles its own distinct validation windows (one per
-        local data row), globalizes them through the sharded batch put, and
-        all ranks enter the shard_map'd eval together; only rank 0 later
-        fetches/logs the replicated metrics.  Unlike the single-controller
-        path there is no skip-on-error tolerance: a rank skipping a
-        collective would strand the others, so assembly errors are fatal
-        (consistent with every other collective in the loop)."""
-        from deepphysinet_tpu.parallel.mesh import shard_batch
-        from deepphysinet_tpu.parallel.sharding import make_sharded_eval_step
+        Every rank contributes its distinct validation windows (one cube per
+        local data row), globalized through the sharded put, and all ranks
+        enter the shard_map'd device-sampling eval together with the same
+        FIXED key (deterministic points, zero recurring host-sampling cost
+        -- same redesign as the single-process path); only rank 0 later
+        fetches/logs the pmean'd metrics.  Globalized cube batches are
+        LRU-cached per window combination (the cycle repeats, so steady
+        state re-transfers nothing).  Unlike the single-controller path
+        there is no skip-on-error tolerance: a rank skipping a collective
+        would strand the others, so assembly errors are fatal (consistent
+        with every other collective in the loop)."""
+        from collections import OrderedDict
+
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from deepphysinet_tpu.parallel.mesh import put_sharded
+        from deepphysinet_tpu.parallel.sharding import (
+            make_sharded_device_sampling_eval_step)
+        from deepphysinet_tpu.train.device_sampling import CubeBatch
 
         if not hasattr(self, "_valid_sharded_step"):
-            self._valid_sharded_step = make_sharded_eval_step(
-                self.physics_net, cfg, mesh)
+            self._valid_sharded_step = make_sharded_device_sampling_eval_step(
+                self.physics_net, cfg, mesh, scfg)
             self._valid_item = 0
+            self._valid_dist_cubes: "OrderedDict" = OrderedDict()
+            # identical host value on every process -> replicated global key
+            self._valid_key = np.asarray(jax.random.key_data(
+                jax.random.PRNGKey(7919)))
         rows = mesh.shape["data"] // nproc  # local windows per process
-        items = []
-        for j in range(rows):
-            idx = (self._valid_item + rank * rows + j) % len(valid_dataset)
-            items.append(valid_dataset[idx])
+        idxs = [(self._valid_item + rank * rows + j) % len(valid_dataset)
+                for j in range(rows)]
         self._valid_item += mesh.shape["data"]
-        data = {
-            k: (np.stack([np.asarray(it[k]) for it in items])
-                if not isinstance(items[0][k], str)
-                else [it[k] for it in items])
-            for k in items[0] if k != "input_file"
-        }
-        gbatch = shard_batch(self._to_batch(data), mesh)
-        return self._valid_sharded_step(state.params, gbatch, with_pde)
+        ck = tuple(idxs)
+        cube = self._valid_dist_cubes.get(ck)
+        if cube is None:
+            items = [valid_dataset.get_cube_item(i) for i in idxs]
+            sharding = NamedSharding(mesh, _P("data"))
+            local = CubeBatch(
+                field=np.stack([np.asarray(it["field_data"], np.float32)
+                                for it in items]),
+                forecast_h=np.asarray(
+                    [np.float32(it["forecast_h"]) for it in items], np.float32),
+                nwp_cube=np.stack([np.asarray(it["nwp_cube"], np.float32)
+                                   for it in items]),
+                label_cube=np.stack([np.asarray(it["label_cube"], np.float32)
+                                     for it in items]),
+            )
+            cube = CubeBatch(*(put_sharded(x, sharding) for x in local))
+            self._valid_dist_cubes[ck] = cube
+            if len(self._valid_dist_cubes) > 4:
+                self._valid_dist_cubes.popitem(last=False)
+        else:
+            self._valid_dist_cubes.move_to_end(ck)
+        return self._valid_sharded_step(state.params, cube, self._valid_key,
+                                        with_pde)
 
     @staticmethod
     def print_key_args(**kwargs):
@@ -866,12 +939,13 @@ class InterfacePhysics:
                         vm_arrays = None
                         if len(valid_dataset) > 0 and nproc == 1:
                             vm_arrays = self._device_mode_validation(
-                                valid_dataset, cfg, state, with_pde, fetch=False)
+                                valid_dataset, cfg, scfg, state, with_pde,
+                                fetch=False)
                         elif (nproc > 1 and mesh is not None
                               and len(valid_dataset) >= mesh.shape["data"]):
                             vm_arrays = self._device_mode_validation_dist(
-                                valid_dataset, cfg, state, with_pde, mesh,
-                                nproc, rank)
+                                valid_dataset, cfg, scfg, state, with_pde,
+                                mesh, nproc, rank)
                     if do_log and is_main:
 
                         def log_job(metrics=metrics, vm_arrays=vm_arrays,

@@ -181,3 +181,39 @@ def make_sharded_device_sampling_step(model, tx, cfg: StepConfig, mesh: Mesh, sc
         )(state, batch, key)
 
     return jax.jit(step, static_argnames=("with_pde",), donate_argnums=(0,))
+
+
+def make_sharded_device_sampling_eval_step(model, cfg: StepConfig, mesh: Mesh, scfg):
+    """Mesh-sharded device-sampling validation: one window per ``data`` slot,
+    points drawn on-device with the same global-key slicing as the sharded
+    train step, metrics pmean'd to global means.  A COLLECTIVE: every
+    process must call it at the same step (the device loop's log condition
+    is lockstep); only rank 0 fetches/logs."""
+    from deepphysinet_tpu.train.device_sampling import CubeBatch, make_ds_loss_fn
+
+    loss_fn = make_ds_loss_fn(model, cfg, scfg)
+    axes = tuple(mesh.axis_names)
+    n_data = mesh.shape["data"]
+
+    def eval_step(params, batch: CubeBatch, key, with_pde: bool):
+        def body(params, local: CubeBatch, key):
+            b_local = local.field.shape[0]
+            keys = jax.random.split(key, b_local * n_data)
+            keys = keys.reshape(n_data, b_local, *keys.shape[1:])
+            local_keys = keys[jax.lax.axis_index("data")]
+            _, (metrics, pred_norm, labels) = loss_fn(
+                params, local, local_keys, with_pde)
+            metrics.update(_variable_metrics(pred_norm, labels, cfg))
+            return jax.lax.pmean(metrics, axes)
+
+        cube_specs = CubeBatch(field=P("data"), forecast_h=P("data"),
+                               nwp_cube=P("data"), label_cube=P("data"))
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), cube_specs, P()),
+            out_specs=P(),
+            check_vma=False,
+        )(params, batch, key)
+
+    return jax.jit(eval_step, static_argnames=("with_pde",))

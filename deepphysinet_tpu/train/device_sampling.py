@@ -185,3 +185,25 @@ def make_device_sampling_train_step(model, tx, cfg: StepConfig, scfg: SamplerCon
         return new_state, metrics
 
     return train_step
+
+
+def make_device_sampling_eval_step(model, cfg: StepConfig, scfg: SamplerConfig):
+    """``eval_step(params, cube_batch, key, with_pde) -> metrics`` (no update).
+
+    Validation for the device-sampling loop: points are drawn ON-DEVICE from
+    the (cached) window cubes with a caller-FIXED key, so repeated
+    validations score the same points -- deterministic valid curves at zero
+    recurring host cost.  The previous design routed validation through the
+    host-sampled ``__getitem__`` path (the reference's dataloader work,
+    ~1 s per call), which the device loop paid every log_step and which
+    capped e2e fps well below the step rate (docs/PERF.md round-3 (h))."""
+    loss_fn = make_ds_loss_fn(model, cfg, scfg)
+
+    @functools.partial(jax.jit, static_argnames=("with_pde",))
+    def eval_step(params, batch: CubeBatch, key, with_pde: bool):
+        keys = jax.random.split(key, batch.field.shape[0])
+        _, (metrics, pred_norm, labels) = loss_fn(params, batch, keys, with_pde)
+        metrics.update(_variable_metrics(pred_norm, labels, cfg))
+        return metrics
+
+    return eval_step

@@ -117,3 +117,44 @@ def test_device_sampled_train_step(rng):
     assert all(np.isfinite(v) for v in m_hist)
     # fresh randomness each step -> different sampled losses
     assert len({round(v, 6) for v in m_hist}) > 1
+
+
+def test_device_sampling_eval_step(rng):
+    """Validation eval step: deterministic under a fixed key (repeated
+    validations score the same on-device-sampled points), fresh points under
+    a different key, and no state mutation (pure metrics)."""
+    from deepphysinet_tpu.train.device_sampling import make_device_sampling_eval_step
+
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    specs = norm_specs_from_cfg(OBS_CFG)
+    cfg = StepConfig(coord_spec=COORD,
+                     obs_specs=tuple(specs[k] for k in OBS_NAME_ORDER),
+                     loss_factor=FACTORS)
+    B = 2
+    cube = CubeBatch(
+        field=jnp.asarray(rng.randn(B, 12, 65).astype(np.float32)),
+        forecast_h=jnp.asarray([24.0, 48.0]),
+        nwp_cube=jnp.asarray(rng.randn(B, 6, 10, 17, 5).astype(np.float32) * 0.1),
+        label_cube=jnp.asarray(rng.randn(B, 6, 37, 65, 25).astype(np.float32) * 0.1),
+    )
+    dummy = Batch(
+        field=cube.field, forecast_h=cube.forecast_h,
+        margin=PointBatch(
+            x=jnp.zeros((B, 8)), y=jnp.zeros((B, 8)), t=jnp.zeros((B, 8)),
+            f=jnp.zeros((B, 8, 1)), nwp=jnp.zeros((B, 8, 6)), labels=jnp.zeros((B, 8, 6))),
+        inter=PointBatch(
+            x=jnp.zeros((B, 4)), y=jnp.zeros((B, 4)), t=jnp.zeros((B, 4)),
+            f=jnp.zeros((B, 4, 1)), nwp=jnp.zeros((B, 4, 6)), labels=jnp.zeros((B, 4, 6))),
+    )
+    tx = build_optimizer("Adam", lr=1e-3)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    eval_step = make_device_sampling_eval_step(model, cfg, SCFG)
+
+    key = jax.random.PRNGKey(7919)
+    m1 = {k: float(v) for k, v in eval_step(state.params, cube, key, True).items()}
+    m2 = {k: float(v) for k, v in eval_step(state.params, cube, key, True).items()}
+    assert m1 == m2  # fixed key -> identical sampled points -> identical metrics
+    assert all(np.isfinite(v) for v in m1.values())
+    assert "total_loss" in m1 and "margin_loss" in m1
+    m3 = eval_step(state.params, cube, jax.random.PRNGKey(1), True)
+    assert float(m3["margin_loss"]) != m1["margin_loss"]

@@ -218,3 +218,47 @@ def test_cross_topology_checkpoint_resume(tmp_path, backend, direction):
                                float(m_ref["total_loss"]), rtol=1e-4)
     np.testing.assert_allclose(float(m_res["grad_norm"]),
                                float(m_ref["grad_norm"]), rtol=1e-4)
+
+
+def test_sharded_device_sampling_eval_matches_single(rng):
+    """The mesh-sharded device-sampling EVAL collective must reproduce the
+    single-controller eval exactly: with b_local=1 its global-key slicing
+    (split(key, n_data).reshape(n_data, 1)[i]) hands every window the same
+    key as the single step's split(key, B)[i], and pmean over equal-sized
+    per-window means equals the global mean for every metric (all are
+    per-window means; variable metrics are MSEs, linear under pmean)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from deepphysinet_tpu.parallel.sharding import (
+        make_sharded_device_sampling_eval_step)
+    from deepphysinet_tpu.train.device_sampling import (
+        CubeBatch, SamplerConfig, make_device_sampling_eval_step)
+
+    model = PhysicsNet(meta_cfg=META, net_cfg=NET)
+    cfg = _cfg()
+    tx = build_optimizer("Adam", lr=1e-3)
+    scfg = SamplerConfig(n_margin=32, n_inter=16, window_h=24)
+
+    B = 8
+    cube = CubeBatch(
+        field=jnp.asarray(rng.randn(B, 12, 65), jnp.float32),
+        forecast_h=jnp.asarray(np.full(B, 24.0), jnp.float32),
+        nwp_cube=jnp.asarray(rng.randn(B, 6, 10, 17, 5) * 0.1, jnp.float32),
+        label_cube=jnp.asarray(rng.randn(B, 6, 37, 65, 25) * 0.1, jnp.float32),
+    )
+    dummy = _make_batch(np.random.RandomState(0), B=B, Nm=8, Ni=4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    key = jax.random.PRNGKey(7919)
+
+    single = make_device_sampling_eval_step(model, cfg, scfg)
+    ms = single(state.params, cube, key, True)
+
+    mesh = make_mesh(MeshConfig(data=8, points=1))
+    sharded = make_sharded_device_sampling_eval_step(model, cfg, mesh, scfg)
+    data_sh = NamedSharding(mesh, P("data"))
+    gcube = CubeBatch(*(jax.device_put(x, data_sh) for x in cube))
+    mg = sharded(state.params, gcube, key, True)
+
+    assert set(mg) == set(ms)
+    for k in ms:
+        np.testing.assert_allclose(float(ms[k]), float(mg[k]), rtol=2e-4,
+                                   err_msg=k)
