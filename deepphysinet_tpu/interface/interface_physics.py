@@ -524,7 +524,8 @@ class InterfacePhysics:
         on device; the cap bounds HBM for large valid splits."""
         from collections import OrderedDict
 
-        from deepphysinet_tpu.train.device_sampling import CubeBatch
+        from deepphysinet_tpu.train.device_sampling import (
+            CubeBatch, cube_batch_from_items)
 
         if not hasattr(self, "_valid_cubes"):
             self._valid_cubes: "OrderedDict" = OrderedDict()
@@ -532,13 +533,7 @@ class InterfacePhysics:
         if idx in cache:
             cache.move_to_end(idx)
             return cache[idx]
-        item = valid_dataset.get_cube_item(idx)
-        cube = CubeBatch(
-            field=np.asarray(item["field_data"], np.float32)[None],
-            forecast_h=np.asarray(item["forecast_h"], np.float32).reshape(1),
-            nwp_cube=np.asarray(item["nwp_cube"], np.float32)[None],
-            label_cube=np.asarray(item["label_cube"], np.float32)[None],
-        )
+        cube = cube_batch_from_items([valid_dataset.get_cube_item(idx)])
         if sharding is None:
             cube = CubeBatch(*(jnp.asarray(x) for x in cube))
         else:
@@ -622,7 +617,8 @@ class InterfacePhysics:
         from deepphysinet_tpu.parallel.mesh import put_sharded
         from deepphysinet_tpu.parallel.sharding import (
             make_sharded_device_sampling_eval_step)
-        from deepphysinet_tpu.train.device_sampling import CubeBatch
+        from deepphysinet_tpu.train.device_sampling import (
+            CubeBatch, cube_batch_from_items)
 
         if not hasattr(self, "_valid_sharded_step"):
             self._valid_sharded_step = make_sharded_device_sampling_eval_step(
@@ -639,18 +635,9 @@ class InterfacePhysics:
         ck = tuple(idxs)
         cube = self._valid_dist_cubes.get(ck)
         if cube is None:
-            items = [valid_dataset.get_cube_item(i) for i in idxs]
             sharding = NamedSharding(mesh, _P("data"))
-            local = CubeBatch(
-                field=np.stack([np.asarray(it["field_data"], np.float32)
-                                for it in items]),
-                forecast_h=np.asarray(
-                    [np.float32(it["forecast_h"]) for it in items], np.float32),
-                nwp_cube=np.stack([np.asarray(it["nwp_cube"], np.float32)
-                                   for it in items]),
-                label_cube=np.stack([np.asarray(it["label_cube"], np.float32)
-                                     for it in items]),
-            )
+            local = cube_batch_from_items(
+                [valid_dataset.get_cube_item(i) for i in idxs])
             cube = CubeBatch(*(put_sharded(x, sharding) for x in local))
             self._valid_dist_cubes[ck] = cube
             if len(self._valid_dist_cubes) > 4:
@@ -881,12 +868,10 @@ class InterfacePhysics:
             if key in cube_cache:
                 cube_cache.move_to_end(key)
                 return cube_cache[key]
-            cube = CubeBatch(
-                field=np.asarray(data["field_data"], np.float32),
-                forecast_h=np.asarray(data["forecast_h"], np.float32).reshape(-1),
-                nwp_cube=np.asarray(data["nwp_cube"], np.float32),
-                label_cube=np.asarray(data["label_cube"], np.float32),
-            )
+            from deepphysinet_tpu.train.device_sampling import cube_batch_host
+
+            cube = cube_batch_host(data["field_data"], data["forecast_h"],
+                                   data["nwp_cube"], data["label_cube"])
             if data_sharding is not None:
                 from deepphysinet_tpu.parallel.mesh import put_sharded
 

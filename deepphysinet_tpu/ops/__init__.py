@@ -6,7 +6,11 @@ from deepphysinet_tpu.ops.normalization import (
     norm_specs_from_cfg,
 )
 from deepphysinet_tpu.ops.coords import CoordSpec, encode_coord, coriolis
-from deepphysinet_tpu.ops.interp import trilinear_interp_cube
+from deepphysinet_tpu.ops.interp import (
+    trilinear_interp_cube,
+    trilinear_interp_rows,
+    trilinear_interp_rows_batched,
+)
 
 __all__ = [
     "SineCosPE",
@@ -20,4 +24,6 @@ __all__ = [
     "encode_coord",
     "coriolis",
     "trilinear_interp_cube",
+    "trilinear_interp_rows",
+    "trilinear_interp_rows_batched",
 ]

@@ -78,3 +78,104 @@ def trilinear_interp_cube(
     fx = (lon_pts - lon0) / dlon
     ft = (t_pts - t0) / dt
     return _gather_trilinear(cube, fy.astype(jnp.float32), fx.astype(jnp.float32), ft.astype(jnp.float32))
+
+
+def _rows_weights(fy, fx, ft, H: int, W: int, T: int):
+    """Shared corner-index/weight computation for the rows variants."""
+    fy = jnp.clip(fy, 0.0, H - 1.0).astype(jnp.float32)
+    fx = jnp.clip(fx, 0.0, W - 1.0).astype(jnp.float32)
+    ft = jnp.clip(ft, 0.0, T - 1.0).astype(jnp.float32)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 2) if H > 1 else jnp.zeros_like(fy, jnp.int32)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 2) if W > 1 else jnp.zeros_like(fx, jnp.int32)
+    t0 = jnp.clip(jnp.floor(ft).astype(jnp.int32), 0, T - 2) if T > 1 else jnp.zeros_like(ft, jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    t1 = jnp.minimum(t0 + 1, T - 1)
+    return (y0, x0, t0, y1, x1, t1), (fy - y0, fx - x0, ft - t0)
+
+
+def _lerp_rows(take, corners, weights):
+    """Trilinear lerp over 8 row-gathered corners; weights get a trailing
+    channel axis so [.., N, C] corners broadcast."""
+    y0, x0, t0, y1, x1, t1 = corners
+    wy, wx, wt = (w[..., None] for w in weights)
+    c00 = take(y0, x0, t0) * (1 - wt) + take(y0, x0, t1) * wt
+    c01 = take(y0, x1, t0) * (1 - wt) + take(y0, x1, t1) * wt
+    c10 = take(y1, x0, t0) * (1 - wt) + take(y1, x0, t1) * wt
+    c11 = take(y1, x1, t0) * (1 - wt) + take(y1, x1, t1) * wt
+    c0 = c00 * (1 - wx) + c01 * wx
+    c1 = c10 * (1 - wx) + c11 * wx
+    return c0 * (1 - wy) + c1 * wy
+
+
+def trilinear_interp_rows(
+    cube: jnp.ndarray,  # [H, W, T, C] channel-LAST
+    lon_pts: jnp.ndarray,  # [N]
+    lat_pts: jnp.ndarray,  # [N]
+    t_pts: jnp.ndarray,  # [N]
+    lon0: float,
+    dlon: float,
+    lat0: float,
+    dlat: float,
+    t0: float = 0.0,
+    dt: float = 6.0,
+) -> jnp.ndarray:
+    """Channel-last trilinear interp -> [N, C]: one ROW gather per corner.
+
+    The TPU-native layout choice for scattered-point conditioning: with the
+    cube stored channel-LAST, each sampled point's C variables are
+    contiguous, so every corner lookup is a single row gather of [N, C]
+    from the [H*W*T, C] operand.  In isolation on v5e, with the cube as a
+    runtime argument (the production case -- cubes are per-window inputs,
+    not compile-time constants), the row gather measures ~8x faster than
+    the channel-first form (scripts/perf_capture_vs_arg.py: 1093 -> 135 us
+    for a 20480-point gather); inside the full training program the win is
+    smaller because large-operand gathers are HBM-latency-bound there --
+    measurements and negative results in docs/PERF.md round-3 (i)."""
+    H, W, T = cube.shape[-4:-1]
+    corners, weights = _rows_weights(
+        (lat_pts - lat0) / dlat, (lon_pts - lon0) / dlon, (t_pts - t0) / dt,
+        H, W, T)
+    flat = cube.reshape(H * W * T, cube.shape[-1])
+
+    def take(yi, xi, ti):
+        return jnp.take(flat, (yi * W + xi) * T + ti, axis=0)  # [N, C]
+
+    return _lerp_rows(take, corners, weights)
+
+
+def trilinear_interp_rows_batched(
+    cube: jnp.ndarray,  # [B, H, W, T, C] channel-LAST
+    lon_pts: jnp.ndarray,  # [B, N]
+    lat_pts: jnp.ndarray,  # [B, N]
+    t_pts: jnp.ndarray,  # [B, N]
+    lon0: float,
+    dlon: float,
+    lat0: float,
+    dlat: float,
+    t0: float = 0.0,
+    dt: float = 6.0,
+) -> jnp.ndarray:
+    """Batch-of-windows trilinear_interp_rows -> [B, N, C], WITHOUT vmap.
+
+    vmap lowers the corner lookups to batched gathers that XLA schedules
+    ~3.6x slower on TPU (scripts/perf_vmap_sampler.py).  Channel-last makes
+    the batch fold FREE: the batch axis is major, so [B,H,W,T,C] reshapes
+    to [B*H*W*T, C] with no data movement and the batch enters through the
+    absolute row index ``b*H*W*T + flat``.  Bitwise-identical to
+    vmap(trilinear_interp_rows) -- tested in tests/test_interp.py."""
+    B = cube.shape[0]
+    H, W, T = cube.shape[-4:-1]
+    corners, weights = _rows_weights(
+        (lat_pts - lat0) / dlat, (lon_pts - lon0) / dlon, (t_pts - t0) / dt,
+        H, W, T)
+    X = H * W * T
+    flat = cube.reshape(B * X, cube.shape[-1])
+    off = (jnp.arange(B, dtype=jnp.int32) * X)[:, None]  # [B, 1]
+    N, C = lon_pts.shape[-1], cube.shape[-1]
+
+    def take(yi, xi, ti):
+        idx = (yi * W + xi) * T + ti + off  # [B, N]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(B, N, C)
+
+    return _lerp_rows(take, corners, weights)

@@ -6,8 +6,12 @@ interpolation inside dataloader worker processes (dataset/physics_dataset.py:
 window, just the raw cubes:
 
   field       [159, 2405]   token matrix (unchanged)
-  nwp_cube    [6, H, W, T]  normalized coarse NWP window (~0.3 MB)
-  label_cube  [6, Hl, Wl, Tl] normalized ERA5 window (~22 MB fp32)
+  nwp_cube    [H, W, T, 6]  normalized coarse NWP window (~0.3 MB)
+  label_cube  [Hl, Wl, Tl, 6] normalized ERA5 window (~22 MB fp32)
+
+(channel-LAST on device -- see CubeBatch -- so point lookups are
+contiguous row gathers; the host keeps the reference's channel-first
+window assembly and cube_batch_host() transposes once per window)
 
 and the jitted train step samples FRESH points every optimizer step with
 jax.random, gathers labels, interpolates conditioning values (ops/interp.py),
@@ -33,7 +37,10 @@ import jax
 import jax.numpy as jnp
 
 from deepphysinet_tpu.ops.coords import OMEGA
-from deepphysinet_tpu.ops.interp import trilinear_interp_cube
+from deepphysinet_tpu.ops.interp import (
+    trilinear_interp_rows,
+    trilinear_interp_rows_batched,
+)
 from deepphysinet_tpu.train.train_step import (
     PointBatch,
     StepConfig,
@@ -45,10 +52,54 @@ from deepphysinet_tpu.train.losses import build_loss
 
 
 class CubeBatch(NamedTuple):
+    """Per-window device cubes, channel-LAST.
+
+    The host/reference layout is channel-first ([6, H, W, T],
+    dataset/physics_dataset.py window assembly); on DEVICE the cubes are
+    stored channel-last so that every sampled point's 6 variables are one
+    contiguous row -- each label lookup / interp corner is then a single
+    row gather from a [H*W*T, 6] operand (isolated: ~8x faster on v5e than
+    gathering the channel-first layout passed as a runtime argument;
+    in-program the win is smaller -- large-operand gathers are
+    HBM-latency-bound there; scripts/perf_capture_vs_arg.py and
+    docs/PERF.md round-3 (i)).  Also removes the vmap batching penalty for
+    B>1 window batches.  Build instances with cube_batch_host()/
+    cube_batch_from_items(), which do the one-time host-side transpose."""
+
     field: jnp.ndarray  # [B, L, enc_in]
     forecast_h: jnp.ndarray  # [B]
-    nwp_cube: jnp.ndarray  # [B, 6, H, W, T] normalized NWP window
-    label_cube: jnp.ndarray  # [B, 6, Hl, Wl, Tl] normalized ERA5 window
+    nwp_cube: jnp.ndarray  # [B, H, W, T, 6] normalized NWP window
+    label_cube: jnp.ndarray  # [B, Hl, Wl, Tl, 6] normalized ERA5 window
+
+
+def cube_batch_host(field, forecast_h, nwp_cube_cf, label_cube_cf) -> CubeBatch:
+    """Host numpy CubeBatch from REFERENCE channel-first cubes [B, 6, ...].
+
+    The single place the channel-first -> channel-last layout decision is
+    applied (one ~40 ms numpy transpose per window, amortized across the
+    hundreds of steps a cached window is resampled).  Caller device_puts."""
+    import numpy as np
+
+    return CubeBatch(
+        field=np.asarray(field, np.float32),
+        forecast_h=np.asarray(forecast_h, np.float32).reshape(-1),
+        nwp_cube=np.ascontiguousarray(
+            np.moveaxis(np.asarray(nwp_cube_cf, np.float32), 1, -1)),
+        label_cube=np.ascontiguousarray(
+            np.moveaxis(np.asarray(label_cube_cf, np.float32), 1, -1)),
+    )
+
+
+def cube_batch_from_items(items) -> CubeBatch:
+    """Host numpy CubeBatch from a list of ``get_cube_item`` dicts."""
+    import numpy as np
+
+    return cube_batch_host(
+        np.stack([np.asarray(it["field_data"], np.float32) for it in items]),
+        np.asarray([np.float32(it["forecast_h"]) for it in items], np.float32),
+        np.stack([np.asarray(it["nwp_cube"], np.float32) for it in items]),
+        np.stack([np.asarray(it["label_cube"], np.float32) for it in items]),
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,14 +121,17 @@ def _coriolis_from_lat(lat_deg: jnp.ndarray) -> jnp.ndarray:
 
 def sample_window_points(
     key: jax.Array,
-    nwp_cube: jnp.ndarray,  # [6, H, W, T]
-    label_cube: jnp.ndarray,  # [6, Hl, Wl, Tl]
+    nwp_cube: jnp.ndarray,  # [H, W, T, 6] channel-LAST
+    label_cube: jnp.ndarray,  # [Hl, Wl, Tl, 6] channel-LAST
     scfg: SamplerConfig,
     coord_spec,
 ) -> Tuple[PointBatch, PointBatch]:
-    """Sample one window's margin + inter PointBatches on-device."""
+    """Sample one window's margin + inter PointBatches on-device.
+
+    Cubes are channel-last (see CubeBatch): the label lookup is one row
+    gather and the conditioning interp gathers [N, 6] rows per corner."""
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    Hl, Wl = label_cube.shape[1], label_cube.shape[2]
+    Hl, Wl, Tl = label_cube.shape[0], label_cube.shape[1], label_cube.shape[2]
     nm, ni = scfg.n_margin, scfg.n_inter
 
     # ---- margin: integer fine-grid points with exact label gather ----
@@ -88,18 +142,18 @@ def sample_window_points(
     n_slots = scfg.window_h // scfg.label_time_step + 1
     slot = jax.random.randint(k3, (nm,), 0, n_slots)
     mt = slot * scfg.label_time_step
-    flat = (my * Wl + mx) * label_cube.shape[3] + slot
-    labels = jnp.take(label_cube.reshape(6, -1), flat, axis=-1).T  # [nm, 6]
+    flat = (my * Wl + mx) * Tl + slot
+    labels = jnp.take(label_cube.reshape(-1, 6), flat, axis=0)  # [nm, 6]
 
     m_lon = scfg.begin_lon + mx * scfg.fine_step
     m_lat = scfg.begin_lat + my * scfg.fine_step
-    m_nwp = trilinear_interp_cube(
+    m_nwp = trilinear_interp_rows(
         nwp_cube, m_lon.astype(jnp.float32), m_lat.astype(jnp.float32),
         mt.astype(jnp.float32),
         lon0=scfg.begin_lon, dlon=scfg.coarse_step,
         lat0=scfg.begin_lat, dlat=scfg.coarse_step,
         t0=0.0, dt=float(scfg.input_time_step),
-    ).T  # [nm, 6]
+    )  # [nm, 6]
     margin = PointBatch(
         x=(mx * coord_spec.dx).astype(jnp.float32),
         y=(my * coord_spec.dy).astype(jnp.float32),
@@ -115,12 +169,12 @@ def sample_window_points(
     it = jax.random.randint(k6, (ni,), 0, scfg.window_h + 1)
     i_lon = scfg.begin_lon + ix * scfg.fine_step
     i_lat = scfg.begin_lat + iy * scfg.fine_step
-    i_nwp = trilinear_interp_cube(
+    i_nwp = trilinear_interp_rows(
         nwp_cube, i_lon, i_lat, it.astype(jnp.float32),
         lon0=scfg.begin_lon, dlon=scfg.coarse_step,
         lat0=scfg.begin_lat, dlat=scfg.coarse_step,
         t0=0.0, dt=float(scfg.input_time_step),
-    ).T
+    )
     inter = PointBatch(
         x=(ix * coord_spec.dx).astype(jnp.float32),
         y=(iy * coord_spec.dy).astype(jnp.float32),
@@ -128,6 +182,82 @@ def sample_window_points(
         f=_coriolis_from_lat(i_lat),
         nwp=i_nwp.astype(jnp.float32),
         labels=jnp.zeros((ni, 6), jnp.float32),
+    )
+    return margin, inter
+
+
+def sample_window_points_batched(
+    keys: jax.Array,  # [B] per-window keys
+    nwp_cube: jnp.ndarray,  # [B, H, W, T, 6] channel-LAST
+    label_cube: jnp.ndarray,  # [B, Hl, Wl, Tl, 6] channel-LAST
+    scfg: SamplerConfig,
+    coord_spec,
+) -> Tuple[PointBatch, PointBatch]:
+    """Batch of windows WITHOUT vmap -> PointBatches with leading [B].
+
+    ``jax.vmap(sample_window_points)`` lowers the gathers ~3.6x slower on
+    v5e (scripts/perf_vmap_sampler.py).  This version draws the SAME
+    per-window random points (RNG ops vmap elementwise, penalty-free) but
+    runs every lookup as a flat ROW gather: channel-last cubes make the
+    batch fold free ([B,...,6] -> [B*X, 6] with no data movement, batch
+    enters via the absolute row index).  Bitwise-equal outputs to
+    vmap(sample_window_points) -- tested in tests/test_device_sampling.py."""
+    B = label_cube.shape[0]
+    Hl, Wl, Tl = label_cube.shape[1], label_cube.shape[2], label_cube.shape[3]
+    nm, ni = scfg.n_margin, scfg.n_inter
+    ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)  # [B, 6, key]
+    k1, k2, k3 = ks[:, 0], ks[:, 1], ks[:, 2]
+    k4, k5, k6 = ks[:, 3], ks[:, 4], ks[:, 5]
+
+    # ---- margin: integer fine-grid points with exact label gather ----
+    mx = jax.vmap(lambda k: jax.random.randint(k, (nm,), 0, Wl))(k1)  # [B, nm]
+    my = jax.vmap(lambda k: jax.random.randint(k, (nm,), 0, Hl))(k2)
+    n_slots = scfg.window_h // scfg.label_time_step + 1
+    slot = jax.vmap(lambda k: jax.random.randint(k, (nm,), 0, n_slots))(k3)
+    mt = slot * scfg.label_time_step
+    X = Hl * Wl * Tl
+    flat = (my * Wl + mx) * Tl + slot + (jnp.arange(B, dtype=jnp.int32) * X)[:, None]
+    labels = jnp.take(label_cube.reshape(B * X, 6), flat.reshape(-1), axis=0)
+    labels = labels.reshape(B, nm, 6)
+
+    m_lon = scfg.begin_lon + mx * scfg.fine_step
+    m_lat = scfg.begin_lat + my * scfg.fine_step
+    m_nwp = trilinear_interp_rows_batched(
+        nwp_cube, m_lon.astype(jnp.float32), m_lat.astype(jnp.float32),
+        mt.astype(jnp.float32),
+        lon0=scfg.begin_lon, dlon=scfg.coarse_step,
+        lat0=scfg.begin_lat, dlat=scfg.coarse_step,
+        t0=0.0, dt=float(scfg.input_time_step),
+    )  # [B, nm, 6]
+    m_lat_f = m_lat.astype(jnp.float32)
+    margin = PointBatch(
+        x=(mx * coord_spec.dx).astype(jnp.float32),
+        y=(my * coord_spec.dy).astype(jnp.float32),
+        t=(mt * 3600.0).astype(jnp.float32),
+        f=(2.0 * OMEGA * jnp.sin(m_lat_f / 180.0 * jnp.pi))[..., None],
+        nwp=m_nwp.astype(jnp.float32),
+        labels=labels.astype(jnp.float32),
+    )
+
+    # ---- inter: continuous collocation points ----
+    ix = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k4) * (Wl - 1)
+    iy = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k5) * (Hl - 1)
+    it = jax.vmap(lambda k: jax.random.randint(k, (ni,), 0, scfg.window_h + 1))(k6)
+    i_lon = scfg.begin_lon + ix * scfg.fine_step
+    i_lat = scfg.begin_lat + iy * scfg.fine_step
+    i_nwp = trilinear_interp_rows_batched(
+        nwp_cube, i_lon, i_lat, it.astype(jnp.float32),
+        lon0=scfg.begin_lon, dlon=scfg.coarse_step,
+        lat0=scfg.begin_lat, dlat=scfg.coarse_step,
+        t0=0.0, dt=float(scfg.input_time_step),
+    )
+    inter = PointBatch(
+        x=(ix * coord_spec.dx).astype(jnp.float32),
+        y=(iy * coord_spec.dy).astype(jnp.float32),
+        t=(it * 3600.0).astype(jnp.float32),
+        f=(2.0 * OMEGA * jnp.sin(i_lat / 180.0 * jnp.pi))[..., None],
+        nwp=i_nwp.astype(jnp.float32),
+        labels=jnp.zeros((B, ni, 6), jnp.float32),
     )
     return margin, inter
 
@@ -144,20 +274,21 @@ def make_ds_loss_fn(model, cfg: StepConfig, scfg: SamplerConfig):
     def loss_fn(params, batch: CubeBatch, keys, with_pde: bool):
         fh_norm = (batch.forecast_h / cfg.forecast_time_period)[:, None]
         tokens = model.apply(params, batch.field, fh_norm, method=PhysicsNet.encode)
-
-        def one_window(tokens_b, fh_b, nwp_cube_b, label_cube_b, key_b):
-            margin, inter = sample_window_points(
-                key_b, nwp_cube_b, label_cube_b, scfg, cfg.coord_spec
-            )
-            return _window_losses(
-                model, params, tokens_b, fh_b, margin, inter, cfg, with_pde, pred_loss_fn
-            ) | {"_labels": margin.labels}
-
-        per_window = jax.vmap(one_window)(
-            tokens, fh_norm, batch.nwp_cube, batch.label_cube, keys
+        # Sampling runs BATCHED OUTSIDE the vmap: vmapping the gathers costs
+        # ~1.3 ms/step on v5e (docs/PERF.md round-3 (i)); the points drawn
+        # are bitwise-identical to the per-window form.
+        margin, inter = sample_window_points_batched(
+            keys, batch.nwp_cube, batch.label_cube, scfg, cfg.coord_spec
         )
+
+        def one_window(tokens_b, fh_b, margin_b, inter_b):
+            return _window_losses(
+                model, params, tokens_b, fh_b, margin_b, inter_b, cfg, with_pde, pred_loss_fn
+            )
+
+        per_window = jax.vmap(one_window)(tokens, fh_norm, margin, inter)
         pred_norm = per_window.pop("_pred_norm")
-        labels = per_window.pop("_labels")
+        labels = margin.labels
         metrics = {k: jnp.mean(v) for k, v in per_window.items()}
         total = metrics["margin_loss"]
         if with_pde:

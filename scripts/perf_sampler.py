@@ -48,8 +48,8 @@ def main() -> None:
     rng = np.random.RandomState(0)
     Hl, Wl, Tl = 145, 257, 25
     H, W, T = 37, 65, 5
-    label_cube = jnp.asarray(rng.randn(6, Hl, Wl, Tl), jnp.float32)
-    nwp_cube = jnp.asarray(rng.randn(6, H, W, T), jnp.float32)
+    label_cube = jnp.asarray(rng.randn(Hl, Wl, Tl, 6), jnp.float32)
+    nwp_cube = jnp.asarray(rng.randn(H, W, T, 6), jnp.float32)
     scfg = SamplerConfig(n_margin=20480, n_inter=4096, window_h=24,
                          input_time_step=6, label_time_step=1,
                          begin_lat=18.0, begin_lon=72.0, fine_step=0.25,
@@ -79,7 +79,7 @@ def main() -> None:
 
     def gather_only(mx, my, slot):
         flat = (my * Wl + mx) * Tl + slot
-        return jnp.take(label_cube.reshape(6, -1), flat, axis=-1).T
+        return jnp.take(label_cube.reshape(-1, 6), flat, axis=0)
 
     bench("label gather [6->20480,6]", gather_only, mx, my, slot)
 
@@ -89,9 +89,11 @@ def main() -> None:
     m_t = jnp.asarray(rng.randint(0, 25, 20480), jnp.float32)
 
     def interp_only(lon, lat, t):
-        return trilinear_interp_cube(
+        from deepphysinet_tpu.ops.interp import trilinear_interp_rows
+
+        return trilinear_interp_rows(
             nwp_cube, lon, lat, t, lon0=72.0, dlon=1.0, lat0=18.0, dlat=1.0,
-            t0=0.0, dt=6.0).T
+            t0=0.0, dt=6.0)
 
     bench("trilinear interp 20480", interp_only, m_lon, m_lat, m_t)
 

@@ -1,12 +1,14 @@
-"""Locate the device-sampling e2e fps gap (soak: 72-88 fps vs bench 204/s).
+"""Can splitting on-device sampling out of the fused ds train step beat it?
 
-Breakdown, median-of-5 slopes on the real chip, fullscale synthetic dims:
-  1. device-sampling step alone (fixed key)      -> its true device cost
-  2. + jax.random.split per step                 -> per-step tiny-dispatch tax
-  3. + PrefetchLoader iteration + cube cache     -> host pipeline tax
+docs/PERF.md round-3 (h): the fused device-sampling step costs 6.85 ms vs
+4.88 ms for the host-mode step, yet the sampling block standalone is only
+~0.5 ms -- ~1.5 ms is XLA scheduling of the gather/interp block inside the
+big fused program.  Hypothesis: two programs (sample -> PointBatch, then
+the host-mode train step) dispatch back-to-back for ~5.4 ms total, because
+the small sampling program schedules cleanly on its own.
 
 Run ALONE on an idle host:
-  PYTHONPATH=/root/repo:/root/.axon_site /opt/venv/bin/python scripts/perf_device_loop.py
+  PYTHONPATH=/root/repo:/root/.axon_site /opt/venv/bin/python scripts/perf_split_sampling.py
 """
 
 import statistics
@@ -23,6 +25,8 @@ def main() -> None:
     import os
 
     os.environ.setdefault("DPN_FULLSYNTH_DATA", "/tmp/dpn_fullsynth_data")
+    import functools
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,9 +37,11 @@ def main() -> None:
     from deepphysinet_tpu.ops.coords import CoordSpec
     from deepphysinet_tpu.ops.normalization import OBS_NAME_ORDER, norm_specs_from_cfg
     from deepphysinet_tpu.train.device_sampling import (
-        CubeBatch, SamplerConfig, make_device_sampling_train_step)
+        CubeBatch, SamplerConfig, make_device_sampling_train_step,
+        sample_window_points)
     from deepphysinet_tpu.train.optim import build_optimizer
-    from deepphysinet_tpu.train.train_step import StepConfig, create_train_state, Batch, PointBatch
+    from deepphysinet_tpu.train.train_step import (
+        Batch, PointBatch, StepConfig, create_train_state, make_train_step)
 
     print(f"backend: {jax.default_backend()}", flush=True)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -66,15 +72,13 @@ def main() -> None:
         coarse_step=float(ds.in_lon[1] - ds.in_lon[0]),
     )
     tx = build_optimizer("Adam", lr=1e-4, weight_decay=1e-4)
-    step = make_device_sampling_train_step(model, tx, step_cfg, scfg)
 
     from deepphysinet_tpu.train.device_sampling import cube_batch_from_items
 
     cube = CubeBatch(*(jnp.asarray(x)
                        for x in cube_batch_from_items([ds.get_cube_item(0)])))
-    rng = np.random.RandomState(0)
     n_m, n_i = ds.label_batch_size, ds.inter_batch_size
-    sample_batch = Batch(
+    dummy = Batch(
         field=cube.field, forecast_h=cube.forecast_h,
         margin=PointBatch(
             x=jnp.zeros((1, n_m)), y=jnp.zeros((1, n_m)), t=jnp.zeros((1, n_m)),
@@ -85,98 +89,86 @@ def main() -> None:
             f=jnp.zeros((1, n_i, 1)), nwp=jnp.zeros((1, n_i, 6)),
             labels=jnp.zeros((1, n_i, 6))),
     )
-    state = create_train_state(model, tx, jax.random.PRNGKey(0), sample_batch)
+    state0 = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
     key0 = jax.random.PRNGKey(1)
 
-    # 1. step alone, fixed key
-    st = jax.tree.map(lambda x: x.copy(), state)
-    st, m = step(st, cube, key0, True)
+    # ---- A. fused ds step (current production path) ----
+    fused = make_device_sampling_train_step(model, tx, step_cfg, scfg)
+    st = jax.tree.map(lambda x: x.copy(), state0)
+    st, m = fused(st, cube, key0, True)
     _ = float(m["total_loss"])
 
-    def timed1(k):
+    def timed_fused(k):
         nonlocal st
         t0 = time.monotonic()
         for _ in range(k):
-            st, m = step(st, cube, key0, True)
+            st, m = fused(st, cube, key0, True)
         _ = float(m["total_loss"])
         return time.monotonic() - t0
 
-    s1 = median_slope(timed1)
-    print(f"1. ds step alone: {s1*1e3:.3f} ms ({1/s1:.1f} fps)", flush=True)
+    sA = median_slope(timed_fused)
+    print(f"A. fused ds step: {sA*1e3:.3f} ms ({1/sA:.1f} fps)", flush=True)
 
-    # 2. + split per step
-    st = jax.tree.map(lambda x: x.copy(), state)
-    st, m = step(st, cube, key0, True)
-    key = key0
+    # ---- B. split: sample program -> host-mode train step ----
+    @jax.jit
+    def sample_prog(batch: CubeBatch, key):
+        keys = jax.random.split(key, batch.field.shape[0])
 
-    def timed2(k):
-        nonlocal st, key
+        def one(nwp_b, label_b, key_b):
+            return sample_window_points(key_b, nwp_b, label_b, scfg,
+                                        step_cfg.coord_spec)
+
+        margin, inter = jax.vmap(one)(batch.nwp_cube, batch.label_cube, keys)
+        return Batch(field=batch.field, forecast_h=batch.forecast_h,
+                     margin=margin, inter=inter)
+
+    host_step = make_train_step(model, tx, step_cfg)
+    st = jax.tree.map(lambda x: x.copy(), state0)
+    pb = sample_prog(cube, key0)
+    st, m = host_step(st, pb, True)
+    _ = float(m["total_loss"])
+
+    def timed_split(k):
+        nonlocal st
         t0 = time.monotonic()
         for _ in range(k):
-            key, sub = jax.random.split(key)
-            st, m = step(st, cube, sub, True)
+            pb = sample_prog(cube, key0)
+            st, m = host_step(st, pb, True)
         _ = float(m["total_loss"])
         return time.monotonic() - t0
 
-    s2 = median_slope(timed2)
-    print(f"2. + split/step: {s2*1e3:.3f} ms ({1/s2:.1f} fps)", flush=True)
+    sB = median_slope(timed_split)
+    print(f"B. split sample+step: {sB*1e3:.3f} ms ({1/sB:.1f} fps)", flush=True)
 
-    # 3. + loader + device cube cache (the real loop body, no logging)
-    from collections import OrderedDict
-
-    from deepphysinet_tpu.data.pipeline import PrefetchLoader
-
-    class _CubeView:
-        def __init__(self, d):
-            self.ds = d
-
-        def __len__(self):
-            return len(self.ds)
-
-        def __getitem__(self, i):
-            return self.ds.get_cube_item(i)
-
-    cache: OrderedDict = OrderedDict()
-
-    def to_device_cube(data):
-        k_ = tuple(data["input_file"])
-        if k_ in cache:
-            cache.move_to_end(k_)
-            return cache[k_]
-        from deepphysinet_tpu.train.device_sampling import cube_batch_host
-
-        c = CubeBatch(*(jnp.asarray(x) for x in cube_batch_host(
-            data["field_data"], data["forecast_h"], data["nwp_cube"],
-            data["label_cube"])))
-        cache[k_] = c
-        if len(cache) > 8:
-            cache.popitem(last=False)
-        return c
-
-    st = jax.tree.map(lambda x: x.copy(), state)
-    st, m = step(st, cube, key0, True)
-
-    def timed3(k):
-        nonlocal st, key
-        done = 0
+    # ---- C. sample program alone ----
+    def timed_sample(k):
         t0 = time.monotonic()
-        while done < k:
-            loader = PrefetchLoader(_CubeView(ds), 1, shuffle=True,
-                                    drop_last=True, num_workers=2)
-            for data in loader:
-                c = to_device_cube(data)
-                key, sub = jax.random.split(key)
-                st, m = step(st, c, sub, True)
-                done += 1
-                if done >= k:
-                    break
+        pb = None
+        for _ in range(k):
+            pb = sample_prog(cube, key0)
+        _ = float(jnp.sum(pb.margin.x))
+        return time.monotonic() - t0
+
+    sC = median_slope(timed_sample)
+    print(f"C. sample prog alone: {sC*1e3:.3f} ms", flush=True)
+
+    # ---- D. host-mode step alone on pre-sampled points ----
+    st = jax.tree.map(lambda x: x.copy(), state0)
+    pb = sample_prog(cube, key0)
+    st, m = host_step(st, pb, True)
+    _ = float(m["total_loss"])
+
+    def timed_host(k):
+        nonlocal st
+        t0 = time.monotonic()
+        for _ in range(k):
+            st, m = host_step(st, pb, True)
         _ = float(m["total_loss"])
         return time.monotonic() - t0
 
-    timed3(len(ds) + 2)  # warm the caches across all windows
-    s3 = median_slope(timed3)
-    print(f"3. + loader+cache: {s3*1e3:.3f} ms ({1/s3:.1f} fps)", flush=True)
-    print(f"windows={len(ds)} n_margin={n_m} n_inter={n_i}", flush=True)
+    sD = median_slope(timed_host)
+    print(f"D. host-mode step alone: {sD*1e3:.3f} ms", flush=True)
+    print(f"n_margin={n_m} n_inter={n_i}", flush=True)
 
 
 if __name__ == "__main__":

@@ -27,8 +27,9 @@ SCFG = SamplerConfig(n_margin=256, n_inter=128, window_h=24, input_time_step=6,
 
 
 def _cubes(rng, Hc=10, Wc=17, Hl=37, Wl=65):
-    nwp = rng.randn(6, Hc, Wc, 5).astype(np.float32) * 0.1
-    label = rng.randn(6, Hl, Wl, 25).astype(np.float32) * 0.1
+    # device cubes are channel-LAST (see CubeBatch)
+    nwp = rng.randn(Hc, Wc, 5, 6).astype(np.float32) * 0.1
+    label = rng.randn(Hl, Wl, 25, 6).astype(np.float32) * 0.1
     return jnp.asarray(nwp), jnp.asarray(label)
 
 
@@ -59,7 +60,7 @@ def test_label_gather_exact(rng):
     my = (np.asarray(margin.y) / COORD.dy).astype(int)
     mt = (np.asarray(margin.t) / 3600.0).astype(int)
     lab = np.asarray(label)
-    expect = np.stack([lab[v, my, mx, mt] for v in range(6)], axis=-1)
+    expect = lab[my, mx, mt, :]
     np.testing.assert_allclose(np.asarray(margin.labels), expect, rtol=1e-6)
 
 
@@ -76,7 +77,7 @@ def test_nwp_interp_matches_host(rng):
     lon_grid = 72.0 + np.arange(17) * 1.0
     got = np.asarray(margin.nwp)
     for v in range(6):
-        host = _np_trilinear(np.asarray(nwp)[v], lat_grid, lon_grid, th,
+        host = _np_trilinear(np.asarray(nwp)[..., v], lat_grid, lon_grid, th,
                              lat, lon, np.asarray(margin.t) / 3600.0)
         np.testing.assert_allclose(got[:, v], host, rtol=2e-4, atol=2e-5)
 
@@ -89,8 +90,8 @@ def test_device_sampled_train_step(rng):
                      loss_factor=FACTORS)
     tx = build_optimizer("Adam", lr=1e-3)
     B = 2
-    nwp = jnp.asarray(rng.randn(B, 6, 10, 17, 5).astype(np.float32) * 0.1)
-    label = jnp.asarray(rng.randn(B, 6, 37, 65, 25).astype(np.float32) * 0.1)
+    nwp = jnp.asarray(rng.randn(B, 10, 17, 5, 6).astype(np.float32) * 0.1)
+    label = jnp.asarray(rng.randn(B, 37, 65, 25, 6).astype(np.float32) * 0.1)
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65).astype(np.float32)),
         forecast_h=jnp.asarray([24.0, 48.0]),
@@ -134,8 +135,8 @@ def test_device_sampling_eval_step(rng):
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65).astype(np.float32)),
         forecast_h=jnp.asarray([24.0, 48.0]),
-        nwp_cube=jnp.asarray(rng.randn(B, 6, 10, 17, 5).astype(np.float32) * 0.1),
-        label_cube=jnp.asarray(rng.randn(B, 6, 37, 65, 25).astype(np.float32) * 0.1),
+        nwp_cube=jnp.asarray(rng.randn(B, 10, 17, 5, 6).astype(np.float32) * 0.1),
+        label_cube=jnp.asarray(rng.randn(B, 37, 65, 25, 6).astype(np.float32) * 0.1),
     )
     dummy = Batch(
         field=cube.field, forecast_h=cube.forecast_h,
@@ -158,3 +159,29 @@ def test_device_sampling_eval_step(rng):
     assert "total_loss" in m1 and "margin_loss" in m1
     m3 = eval_step(state.params, cube, jax.random.PRNGKey(1), True)
     assert float(m3["margin_loss"]) != m1["margin_loss"]
+
+
+def test_batched_sampler_matches_vmap(rng):
+    """sample_window_points_batched (flat-index gathers, no vmap -- the 3.6x
+    TPU fix, docs/PERF.md round-3 (i)) must reproduce
+    vmap(sample_window_points) EXACTLY: same per-window RNG draws, same
+    gathered elements, same lerp order."""
+    from deepphysinet_tpu.train.device_sampling import sample_window_points_batched
+
+    B = 3
+    nwp = jnp.asarray(rng.randn(B, 10, 17, 5, 6).astype(np.float32) * 0.1)
+    label = jnp.asarray(rng.randn(B, 37, 65, 25, 6).astype(np.float32) * 0.1)
+    keys = jax.random.split(jax.random.PRNGKey(123), B)
+
+    ref_m, ref_i = jax.vmap(
+        lambda n, l, k: sample_window_points(k, n, l, SCFG, COORD)
+    )(nwp, label, keys)
+    got_m, got_i = sample_window_points_batched(keys, nwp, label, SCFG, COORD)
+
+    for name in PointBatch._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got_m, name)), np.asarray(getattr(ref_m, name)),
+            err_msg=f"margin.{name}")
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got_i, name)), np.asarray(getattr(ref_i, name)),
+            err_msg=f"inter.{name}")

@@ -103,8 +103,8 @@ def test_sharded_device_sampling_step(rng):
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65), jnp.float32),
         forecast_h=jnp.asarray(np.full(B, 24.0), jnp.float32),
-        nwp_cube=jnp.asarray(rng.randn(B, 6, 10, 17, 5) * 0.1, jnp.float32),
-        label_cube=jnp.asarray(rng.randn(B, 6, 37, 65, 25) * 0.1, jnp.float32),
+        nwp_cube=jnp.asarray(rng.randn(B, 10, 17, 5, 6) * 0.1, jnp.float32),
+        label_cube=jnp.asarray(rng.randn(B, 37, 65, 25, 6) * 0.1, jnp.float32),
     )
     dummy = _make_batch(np.random.RandomState(0), B=B, Nm=8, Ni=4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
@@ -242,8 +242,8 @@ def test_sharded_device_sampling_eval_matches_single(rng):
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65), jnp.float32),
         forecast_h=jnp.asarray(np.full(B, 24.0), jnp.float32),
-        nwp_cube=jnp.asarray(rng.randn(B, 6, 10, 17, 5) * 0.1, jnp.float32),
-        label_cube=jnp.asarray(rng.randn(B, 6, 37, 65, 25) * 0.1, jnp.float32),
+        nwp_cube=jnp.asarray(rng.randn(B, 10, 17, 5, 6) * 0.1, jnp.float32),
+        label_cube=jnp.asarray(rng.randn(B, 37, 65, 25, 6) * 0.1, jnp.float32),
     )
     dummy = _make_batch(np.random.RandomState(0), B=B, Nm=8, Ni=4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
