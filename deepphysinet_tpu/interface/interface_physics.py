@@ -516,34 +516,48 @@ class InterfacePhysics:
 
     _MAX_CONSECUTIVE_VALID_FAILURES = 3
 
-    def _device_valid_cube(self, valid_dataset, idx, sharding=None):
+    def _valid_windows_cap(self, valid_dataset, floor: int = 1) -> int:
+        """How many valid windows device-mode validation rotates over.
+
+        Device-mode validation scores a FIXED rotating subset of valid
+        windows whose cubes stay device-resident: the subset size equals
+        the cube-cache capacity, so after warmup every validation is pure
+        device compute (no host IO, no tunnel transfer).  Rotating over
+        the whole split instead would thrash any bounded cache (cyclic
+        access defeats LRU) and re-pay ~1 s of raster IO plus a ~22 MB
+        transfer per log_step.  `tpu.valid_windows` (default 8) widens the
+        subset at ~22 MB HBM per window."""
+        cap = int(self.train_cfg.get("tpu", {}).get("valid_windows", 8))
+        return min(len(valid_dataset), max(floor, cap))
+
+    @staticmethod
+    def _valid_scfg(scfg, valid_dataset):
+        """The valid split's own sampling sizes (reference semantics: the
+        valid dataloader used valid_data's label_batch_size /
+        batch_size_inter, interface_physics.py:639-751 -- not the train
+        sizes)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            scfg, n_margin=valid_dataset.label_batch_size,
+            n_inter=valid_dataset.inter_batch_size)
+
+    def _device_valid_cube(self, valid_dataset, idx, cap):
         """Device-resident cube for valid window ``idx``, LRU-cached.
 
-        Valid windows revisit every log_step, so their cubes transfer once
-        (through the tunnel, ~22 MB each at production scale) and then live
-        on device; the cap bounds HBM for large valid splits."""
-        from collections import OrderedDict
-
+        ``cap`` matches the rotation subset (_valid_windows_cap), so every
+        rotated window's cube transfers once and then lives on device."""
         from deepphysinet_tpu.train.device_sampling import (
-            CubeBatch, cube_batch_from_items)
+            CubeBatch, DeviceLRU, cube_batch_from_items)
 
         if not hasattr(self, "_valid_cubes"):
-            self._valid_cubes: "OrderedDict" = OrderedDict()
-        cache = self._valid_cubes
-        if idx in cache:
-            cache.move_to_end(idx)
-            return cache[idx]
-        cube = cube_batch_from_items([valid_dataset.get_cube_item(idx)])
-        if sharding is None:
-            cube = CubeBatch(*(jnp.asarray(x) for x in cube))
-        else:
-            from deepphysinet_tpu.parallel.mesh import put_sharded
+            self._valid_cubes = DeviceLRU(cap)
 
-            cube = CubeBatch(*(put_sharded(x, sharding) for x in cube))
-        cache[idx] = cube
-        if len(cache) > 4:
-            cache.popitem(last=False)
-        return cube
+        def build():
+            cube = cube_batch_from_items([valid_dataset.get_cube_item(idx)])
+            return CubeBatch(*(jnp.asarray(x) for x in cube))
+
+        return self._valid_cubes.get(idx, build)
 
     def _device_mode_validation(self, valid_dataset, cfg, scfg, state,
                                 with_pde, fetch: bool = True):
@@ -555,6 +569,10 @@ class InterfacePhysics:
         host dataloader's point sampling (``valid_dataset[idx]``, ~1 s of
         numpy work) every call -- paid every log_step, it capped the device
         loop's e2e fps well below the step rate (docs/PERF.md round-3 (h)).
+        Rotation is over a fixed device-resident window subset
+        (_valid_windows_cap) whose cubes transfer once; point sizes follow
+        the VALID split's label_batch_size / batch_size_inter
+        (_valid_scfg), like the reference's valid dataloader.
 
         ``fetch=False`` returns the device metric arrays without the tunnel
         fetch (dispatch must stay on the training thread: the eval reads
@@ -571,13 +589,16 @@ class InterfacePhysics:
                     make_device_sampling_eval_step)
 
                 self._valid_eval_step = make_device_sampling_eval_step(
-                    self.physics_net, cfg, scfg)
+                    self.physics_net, cfg,
+                    self._valid_scfg(scfg, valid_dataset))
                 self._valid_item = 0
                 self._valid_failures = 0
                 self._valid_key = jax.random.PRNGKey(7919)
-            idx = self._valid_item % len(valid_dataset)
+                self._n_valid_rot = self._valid_windows_cap(valid_dataset)
+            idx = self._valid_item % self._n_valid_rot
             self._valid_item += 1
-            cube = self._device_valid_cube(valid_dataset, idx)
+            cube = self._device_valid_cube(valid_dataset, idx,
+                                           self._n_valid_rot)
             out = self._valid_eval_step(state.params, cube, self._valid_key,
                                         with_pde)
             if fetch:
@@ -604,46 +625,48 @@ class InterfacePhysics:
         enter the shard_map'd device-sampling eval together with the same
         FIXED key (deterministic points, zero recurring host-sampling cost
         -- same redesign as the single-process path); only rank 0 later
-        fetches/logs the pmean'd metrics.  Globalized cube batches are
-        LRU-cached per window combination (the cycle repeats, so steady
-        state re-transfers nothing).  Unlike the single-controller path
-        there is no skip-on-error tolerance: a rank skipping a collective
-        would strand the others, so assembly errors are fatal (consistent
-        with every other collective in the loop)."""
-        from collections import OrderedDict
-
+        fetches/logs the pmean'd metrics.  Like the single-process path,
+        rotation is over a fixed device-resident window subset
+        (_valid_windows_cap; cache capacity = the number of distinct
+        window combinations, so steady state re-transfers nothing).
+        Unlike the single-controller path there is no skip-on-error
+        tolerance: a rank skipping a collective would strand the others,
+        so assembly errors are fatal (consistent with every other
+        collective in the loop)."""
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         from deepphysinet_tpu.parallel.mesh import put_sharded
         from deepphysinet_tpu.parallel.sharding import (
             make_sharded_device_sampling_eval_step)
         from deepphysinet_tpu.train.device_sampling import (
-            CubeBatch, cube_batch_from_items)
+            CubeBatch, DeviceLRU, cube_batch_from_items)
 
+        n_data = mesh.shape["data"]
         if not hasattr(self, "_valid_sharded_step"):
             self._valid_sharded_step = make_sharded_device_sampling_eval_step(
-                self.physics_net, cfg, mesh, scfg)
+                self.physics_net, cfg, mesh,
+                self._valid_scfg(scfg, valid_dataset))
             self._valid_item = 0
-            self._valid_dist_cubes: "OrderedDict" = OrderedDict()
+            # rotate over >= one full mesh batch of windows; the tuple
+            # cycle then has at most _n_valid_rot distinct keys
+            self._n_valid_rot = self._valid_windows_cap(valid_dataset,
+                                                        floor=n_data)
+            self._valid_dist_cubes = DeviceLRU(self._n_valid_rot)
             # identical host value on every process -> replicated global key
             self._valid_key = np.asarray(jax.random.key_data(
                 jax.random.PRNGKey(7919)))
-        rows = mesh.shape["data"] // nproc  # local windows per process
-        idxs = [(self._valid_item + rank * rows + j) % len(valid_dataset)
+        rows = n_data // nproc  # local windows per process
+        idxs = [(self._valid_item + rank * rows + j) % self._n_valid_rot
                 for j in range(rows)]
-        self._valid_item += mesh.shape["data"]
-        ck = tuple(idxs)
-        cube = self._valid_dist_cubes.get(ck)
-        if cube is None:
+        self._valid_item += n_data
+
+        def build():
             sharding = NamedSharding(mesh, _P("data"))
             local = cube_batch_from_items(
                 [valid_dataset.get_cube_item(i) for i in idxs])
-            cube = CubeBatch(*(put_sharded(x, sharding) for x in local))
-            self._valid_dist_cubes[ck] = cube
-            if len(self._valid_dist_cubes) > 4:
-                self._valid_dist_cubes.popitem(last=False)
-        else:
-            self._valid_dist_cubes.move_to_end(ck)
+            return CubeBatch(*(put_sharded(x, sharding) for x in local))
+
+        cube = self._valid_dist_cubes.get(tuple(idxs), build)
         return self._valid_sharded_step(state.params, cube, self._valid_key,
                                         with_pde)
 
@@ -851,10 +874,10 @@ class InterfacePhysics:
         # Device-side window cache (LRU): a window's cubes transfer once and
         # are resampled on-device every visit (host->device through a tunnel
         # can cost ~1 s for the 22 MB label cube; cap ~8 windows, evict oldest).
-        from collections import OrderedDict
+        from deepphysinet_tpu.train.device_sampling import DeviceLRU
 
-        cube_cache: "OrderedDict" = OrderedDict()
-        cache_cap = int(self.train_cfg.get("tpu", {}).get("device_cube_cache", 8))
+        cube_cache = DeviceLRU(
+            int(self.train_cfg.get("tpu", {}).get("device_cube_cache", 8)))
 
         def to_device_cube(data) -> "CubeBatch":
             """Window cubes in their FINAL device placement, cached.
@@ -864,24 +887,20 @@ class InterfacePhysics:
             traffic on re-visits -- including multi-process mode, where the
             globalizing put consumes this process's local numpy rows exactly
             once per window."""
-            key = tuple(data["input_file"])
-            if key in cube_cache:
-                cube_cache.move_to_end(key)
-                return cube_cache[key]
-            from deepphysinet_tpu.train.device_sampling import cube_batch_host
 
-            cube = cube_batch_host(data["field_data"], data["forecast_h"],
-                                   data["nwp_cube"], data["label_cube"])
-            if data_sharding is not None:
-                from deepphysinet_tpu.parallel.mesh import put_sharded
+            def build():
+                from deepphysinet_tpu.train.device_sampling import cube_batch_host
 
-                cube = CubeBatch(*(put_sharded(x, data_sharding) for x in cube))
-            else:
-                cube = CubeBatch(*(jnp.asarray(x) for x in cube))
-            cube_cache[key] = cube
-            if len(cube_cache) > cache_cap:
-                cube_cache.popitem(last=False)
-            return cube
+                cube = cube_batch_host(data["field_data"], data["forecast_h"],
+                                       data["nwp_cube"], data["label_cube"])
+                if data_sharding is not None:
+                    from deepphysinet_tpu.parallel.mesh import put_sharded
+
+                    return CubeBatch(*(put_sharded(x, data_sharding)
+                                       for x in cube))
+                return CubeBatch(*(jnp.asarray(x) for x in cube))
+
+            return cube_cache.get(tuple(data["input_file"]), build)
 
         meta_kwargs = dict(
             dx=self.dx, dy=self.dy, dt=self.dt, pred_t_span=pred_t_span,

@@ -72,6 +72,30 @@ class CubeBatch(NamedTuple):
     label_cube: jnp.ndarray  # [B, Hl, Wl, Tl, 6] normalized ERA5 window
 
 
+class DeviceLRU:
+    """Tiny bounded LRU for device-resident values (window cubes).
+
+    One implementation shared by the train-loop cube cache and both
+    validation cube caches (single + distributed) so capacity/eviction
+    behavior cannot drift between them."""
+
+    def __init__(self, cap: int):
+        from collections import OrderedDict
+
+        self.cap = int(cap)
+        self._d: "OrderedDict" = OrderedDict()
+
+    def get(self, key, build):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        value = build()
+        self._d[key] = value
+        if len(self._d) > self.cap:
+            self._d.popitem(last=False)
+        return value
+
+
 def cube_batch_host(field, forecast_h, nwp_cube_cf, label_cube_cf) -> CubeBatch:
     """Host numpy CubeBatch from REFERENCE channel-first cubes [B, 6, ...].
 
