@@ -58,7 +58,20 @@ from deepphysinet_tpu.utils.time_metric import TimeMetric
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "f32": jnp.float32, "bf16": jnp.bfloat16}
 
 
-def _summary_writer(log_path: str):
+def _summary_writer(log_path: str, enabled: bool = True):
+    """tensorboardX writer; a no-op stub when disabled (non-main ranks --
+    creation itself writes event files, so it must be rank-gated, not just
+    the add_scalar calls; reference rank-0 gating interface_physics.py:877)
+    or when tensorboardX is unavailable."""
+    if not enabled:
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        return _Null()
     try:
         from tensorboardX import SummaryWriter
 
@@ -243,9 +256,14 @@ class InterfacePhysics:
 
         os.makedirs(log_path, exist_ok=True)
         os.makedirs(checkpoint_path, exist_ok=True)
+        # create log artifacts on rank 0 ONLY: on a shared filesystem two
+        # ranks starting within the same second would truncate the same log
+        # file, and every rank would litter empty tensorboard event files
+        is_main_proc = jax.process_index() == 0
         date_str = datetime.datetime.now().strftime("%Y-%m-%d_%H_%M_%S")
-        log_fp = open(os.path.join(log_path, f"log_{date_str}.txt"), "w")
-        summary = _summary_writer(log_path)
+        log_fp = (open(os.path.join(log_path, f"log_{date_str}.txt"), "w")
+                  if is_main_proc else open(os.devnull, "w"))
+        summary = _summary_writer(log_path, enabled=is_main_proc)
 
         train_dataset = PhysicsDataset(
             **tc["train_data"], input_variable_cfg=self.variable_cfg,
@@ -342,7 +360,13 @@ class InterfacePhysics:
             train_step = make_sharded_train_step(self.physics_net, tx, cfg, mesh)
             self._shard = lambda b: shard_batch(b, mesh)
             eval_step = make_sharded_eval_step(self.physics_net, cfg, mesh)
-            self._shard_valid = self._shard
+            # the valid split's point counts are user-configured and need
+            # not divide the mesh points axis (the train batch's do, via
+            # the dataset's own sizes); trim rather than crash at the
+            # first log step
+            pts_axis = int(mesh.shape.get("points", 1))
+            self._shard_valid = lambda b: shard_batch(
+                self._trim_points_multiple(b, pts_axis), mesh)
             if nproc > 1:
                 # replicate the (identically-seeded / identically-restored)
                 # state across all hosts' devices
@@ -694,6 +718,33 @@ class InterfacePhysics:
             pass
 
     @staticmethod
+    def _trim_points_multiple(batch, m: int):
+        """Trim margin/inter point counts to multiples of the mesh points
+        axis.
+
+        The sharded eval shards the point dimension over ``points``; the
+        valid split's label_batch_size / batch_size_inter are free-form
+        user config, and an indivisible count must degrade to scoring a
+        few fewer points -- not crash a run at its first log step."""
+        if m <= 1:
+            return batch
+
+        def trim(pb):
+            n = pb.x.shape[1]
+            k = (n // m) * m
+            if k == n:
+                return pb
+            if k == 0:
+                raise ValueError(
+                    f"validation point count {n} is smaller than the mesh "
+                    f"points axis {m}")
+            print(f"warning: validation points trimmed {n} -> {k} "
+                  f"(mesh points axis {m})")
+            return jax.tree.map(lambda a: a[:, :k], pb)
+
+        return batch._replace(margin=trim(batch.margin), inter=trim(batch.inter))
+
+    @staticmethod
     def _feasible_valid_batch(valid_len: int, valid_batch: int,
                               data_axis: int, nproc: int) -> int:
         """Clamp the mesh-path validation batch to what the split can fill.
@@ -840,6 +891,27 @@ class InterfacePhysics:
             data_sharding = None
             loader_batch = 1
         key = jax.random.PRNGKey(int(global_step) + 1)
+        # Per-step sampler subkeys come from pre-split BLOCKS.  Multi-process
+        # mode needs the subkey as an identical HOST value on every rank (the
+        # jit promotes it to a replicated global array) -- but fetching one
+        # key per step is a per-step device->host sync through the tunnel
+        # (can cost seconds on slow-fetch days).  One fetch per block instead;
+        # single-process keeps the block on device (same stream, so the
+        # 2-process-vs-single loss-parity test keeps matching).
+        _KEY_BLOCK = 1024
+        _key_state = {"block": None, "i": _KEY_BLOCK}
+
+        def next_subkey():
+            nonlocal key
+            if _key_state["i"] >= _KEY_BLOCK:
+                ks = jax.random.split(key, _KEY_BLOCK + 1)
+                key = ks[0]
+                _key_state["block"] = np.asarray(ks[1:]) if nproc > 1 else ks[1:]
+                _key_state["i"] = 0
+            sub = _key_state["block"][_key_state["i"]]
+            _key_state["i"] += 1
+            return sub
+
         time_metric = TimeMetric()
         steps_since_log = 0
         preempted = {"flag": False}
@@ -921,12 +993,7 @@ class InterfacePhysics:
                         global_step >= self.pde_start_step
                     global_step += 1
                     cube = to_device_cube(data)
-                    key, sub = jax.random.split(key)
-                    if nproc > 1:
-                        # identical host value on every process -> the jit
-                        # promotes it to a replicated global array
-                        sub = np.asarray(sub)
-                    state, metrics = step(state, cube, sub, with_pde)
+                    state, metrics = step(state, cube, next_subkey(), with_pde)
                     steps_since_log += 1
                     do_log = (global_step % log_step == 1
                               or (max_steps and global_step >= max_steps))

@@ -235,3 +235,30 @@ def test_agreed_preemption_single_process_and_cadence():
     # next cadence step, which is lockstep across processes)
     assert not InterfacePhysics._agreed_preemption(
         {"flag": True}, 2, global_step=7, check_every=20)
+
+
+def test_trim_points_multiple():
+    """Valid point counts indivisible by the mesh points axis are trimmed
+    (the sharded eval shards the point dim; a free-form valid
+    label_batch_size must degrade, not crash the first log step)."""
+    from deepphysinet_tpu.train.train_step import Batch, PointBatch
+
+    B, nm, ni = 2, 10, 7
+
+    def pts(n):
+        return PointBatch(
+            x=jnp.zeros((B, n)), y=jnp.zeros((B, n)), t=jnp.zeros((B, n)),
+            f=jnp.zeros((B, n, 1)), nwp=jnp.zeros((B, n, 6)),
+            labels=jnp.zeros((B, n, 6)))
+
+    batch = Batch(field=jnp.zeros((B, 12, 65)), forecast_h=jnp.zeros((B,)),
+                  margin=pts(nm), inter=pts(ni))
+    out = InterfacePhysics._trim_points_multiple(batch, 4)
+    assert out.margin.x.shape == (B, 8) and out.margin.labels.shape == (B, 8, 6)
+    assert out.inter.x.shape == (B, 4)
+    # already divisible -> unchanged object
+    assert InterfacePhysics._trim_points_multiple(batch, 1) is batch
+    same = InterfacePhysics._trim_points_multiple(batch, 2)
+    assert same.margin.x.shape == (B, 10) and same.inter.x.shape == (B, 6)
+    with pytest.raises(ValueError):
+        InterfacePhysics._trim_points_multiple(batch, 16)

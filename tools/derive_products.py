@@ -43,18 +43,27 @@ def products_for_window(dataset, input_file: str, products, smooth_passes=3):
 
     prefix, date_str, forecast_h, mode_name = dataset._parse_item(input_file)
 
+    # each basic variable is read/decoded ONCE per window (ProductsUtils
+    # re-requests variables across products, and the level-count probe below
+    # would otherwise re-decode the GHT stack)
+    _read = {}
+
     def gather(var_name: str) -> np.ndarray:
+        if var_name in _read:
+            return _read[var_name]
         if var_name == "w":
-            z = gather("z")
-            return np.zeros_like(z)
-        raster = _BASIC_FROM_NWP[var_name]
-        # resolve through the input map like get_item_input (dataset.py)
-        # ('prefix' keeps its trailing separator, e.g. 'GFS_')
-        map_key = f"{mode_name}/{prefix}{date_str}_f{forecast_h:03d}_{raster}"
-        f = os.path.join(dataset.input_path,
-                         f"{dataset.input_data_map[map_key]}.tiff")
-        return read_full_image(f, as_rgb=False, normalize=False,
-                               data_format="GDAL_FORMAT")  # [P, H, W]
+            out = np.zeros_like(gather("z"))
+        else:
+            raster = _BASIC_FROM_NWP[var_name]
+            # resolve through the input map like get_item_input (dataset.py)
+            # ('prefix' keeps its trailing separator, e.g. 'GFS_')
+            map_key = f"{mode_name}/{prefix}{date_str}_f{forecast_h:03d}_{raster}"
+            f = os.path.join(dataset.input_path,
+                             f"{dataset.input_data_map[map_key]}.tiff")
+            out = read_full_image(f, as_rgb=False, normalize=False,
+                                  data_format="GDAL_FORMAT")  # [P, H, W]
+        _read[var_name] = out
+        return out
 
     elevation = read_full_image(
         os.path.join(dataset.constant_path, "elevation.tiff"),
