@@ -132,6 +132,13 @@ class InterfacePhysics:
         self.attn_impl = tpu_cfg.get("attn_impl")
         self.pde_start_step = int(tpu_cfg.get("pde_start_step", 2000))
         self.sample_mode = str(tpu_cfg.get("sample_mode", "host"))
+        # device-sampling margin sampler: 'iid' = the reference's per-point
+        # uniform draw (random HBM row-gathers each step); 'pool' = one
+        # contiguous slice of a per-window pre-permuted label pool
+        # (build_pool) -- same uniform marginal, no within-step duplicates,
+        # and the ~1 ms/step gather-latency floor disappears (docs/PERF.md
+        # round-3 (i)/(j)).
+        self.ds_sampler = str(tpu_cfg.get("ds_sampler", "iid"))
         self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
         # Engine default (docs/PERF.md, reference geometry): 'kernel' (fused
         # Pallas forward+backward, 4.9 ms/step, soak-convergence validated)
@@ -566,20 +573,31 @@ class InterfacePhysics:
             scfg, n_margin=valid_dataset.label_batch_size,
             n_inter=valid_dataset.inter_batch_size)
 
-    def _device_valid_cube(self, valid_dataset, idx, cap):
+    def _device_valid_cube(self, valid_dataset, idx, cap, scfg_v=None,
+                           cfg=None):
         """Device-resident cube for valid window ``idx``, LRU-cached.
 
         ``cap`` matches the rotation subset (_valid_windows_cap), so every
-        rotated window's cube transfers once and then lives on device."""
+        rotated window's cube transfers once and then lives on device.
+        With ds_sampler='pool', ``scfg_v``/``cfg`` (the VALID split's
+        sampler sizes + step config) drive the pool build, mirroring the
+        train-loop cubes."""
         from deepphysinet_tpu.train.device_sampling import (
-            CubeBatch, DeviceLRU, cube_batch_from_items)
+            DeviceLRU, attach_pool_nwp, cube_batch_from_items)
 
         if not hasattr(self, "_valid_cubes"):
             self._valid_cubes = DeviceLRU(cap)
+        use_pool = self.ds_sampler == "pool" and scfg_v is not None
 
         def build():
-            cube = cube_batch_from_items([valid_dataset.get_cube_item(idx)])
-            return CubeBatch(*(jnp.asarray(x) for x in cube))
+            cube = cube_batch_from_items(
+                [valid_dataset.get_cube_item(idx)],
+                pool_pad=scfg_v.n_margin if use_pool else None,
+                keep_label_cube=not use_pool)
+            cube = jax.tree.map(jnp.asarray, cube)
+            if use_pool:
+                cube = attach_pool_nwp(cube, scfg_v, cfg.coord_spec)
+            return cube
 
         return self._valid_cubes.get(idx, build)
 
@@ -621,8 +639,9 @@ class InterfacePhysics:
                 self._n_valid_rot = self._valid_windows_cap(valid_dataset)
             idx = self._valid_item % self._n_valid_rot
             self._valid_item += 1
-            cube = self._device_valid_cube(valid_dataset, idx,
-                                           self._n_valid_rot)
+            cube = self._device_valid_cube(
+                valid_dataset, idx, self._n_valid_rot,
+                scfg_v=self._valid_scfg(scfg, valid_dataset), cfg=cfg)
             out = self._valid_eval_step(state.params, cube, self._valid_key,
                                         with_pde)
             if fetch:
@@ -663,7 +682,7 @@ class InterfacePhysics:
         from deepphysinet_tpu.parallel.sharding import (
             make_sharded_device_sampling_eval_step)
         from deepphysinet_tpu.train.device_sampling import (
-            CubeBatch, DeviceLRU, cube_batch_from_items)
+            DeviceLRU, attach_pool_nwp, cube_batch_from_items)
 
         n_data = mesh.shape["data"]
         if not hasattr(self, "_valid_sharded_step"):
@@ -684,11 +703,19 @@ class InterfacePhysics:
                 for j in range(rows)]
         self._valid_item += n_data
 
+        use_pool = self.ds_sampler == "pool"
+        scfg_v = self._valid_scfg(scfg, valid_dataset)
+
         def build():
             sharding = NamedSharding(mesh, _P("data"))
             local = cube_batch_from_items(
-                [valid_dataset.get_cube_item(i) for i in idxs])
-            return CubeBatch(*(put_sharded(x, sharding) for x in local))
+                [valid_dataset.get_cube_item(i) for i in idxs],
+                pool_pad=scfg_v.n_margin if use_pool else None,
+                keep_label_cube=not use_pool)
+            cube = jax.tree.map(lambda x: put_sharded(x, sharding), local)
+            if use_pool:
+                cube = attach_pool_nwp(cube, scfg_v, cfg.coord_spec)
+            return cube
 
         cube = self._valid_dist_cubes.get(tuple(idxs), build)
         return self._valid_sharded_step(state.params, cube, self._valid_key,
@@ -951,6 +978,8 @@ class InterfacePhysics:
         cube_cache = DeviceLRU(
             int(self.train_cfg.get("tpu", {}).get("device_cube_cache", 8)))
 
+        use_pool = self.ds_sampler == "pool"
+
         def to_device_cube(data) -> "CubeBatch":
             """Window cubes in their FINAL device placement, cached.
 
@@ -958,19 +987,33 @@ class InterfacePhysics:
             does not donate them), so a cached window costs zero host->device
             traffic on re-visits -- including multi-process mode, where the
             globalizing put consumes this process's local numpy rows exactly
-            once per window."""
+            once per window.  With ds_sampler='pool' the window ships as a
+            pre-permuted label pool instead of the raw label cube
+            (build_pool; deterministic per-window seed so every process
+            builds the same pool) and the pooled NWP conditioning is
+            computed on device once here (attach_pool_nwp)."""
 
             def build():
-                from deepphysinet_tpu.train.device_sampling import cube_batch_host
+                from deepphysinet_tpu.train.device_sampling import (
+                    _pool_seed_of, attach_pool_nwp, cube_batch_host)
 
-                cube = cube_batch_host(data["field_data"], data["forecast_h"],
-                                       data["nwp_cube"], data["label_cube"])
+                cube = cube_batch_host(
+                    data["field_data"], data["forecast_h"],
+                    data["nwp_cube"], data["label_cube"],
+                    pool_pad=scfg.n_margin if use_pool else None,
+                    pool_seeds=[_pool_seed_of(f) for f in data["input_file"]]
+                    if use_pool else None,
+                    keep_label_cube=not use_pool)
                 if data_sharding is not None:
                     from deepphysinet_tpu.parallel.mesh import put_sharded
 
-                    return CubeBatch(*(put_sharded(x, data_sharding)
-                                       for x in cube))
-                return CubeBatch(*(jnp.asarray(x) for x in cube))
+                    cube = jax.tree.map(
+                        lambda x: put_sharded(x, data_sharding), cube)
+                else:
+                    cube = jax.tree.map(jnp.asarray, cube)
+                if use_pool:
+                    cube = attach_pool_nwp(cube, scfg, cfg.coord_spec)
+                return cube
 
             return cube_cache.get(tuple(data["input_file"]), build)
 

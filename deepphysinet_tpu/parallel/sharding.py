@@ -170,8 +170,10 @@ def make_sharded_device_sampling_step(model, tx, cfg: StepConfig, mesh: Mesh, sc
             metrics.update(var_m)
             return new_state, metrics
 
-        cube_specs = CubeBatch(field=P("data"), forecast_h=P("data"),
-                               nwp_cube=P("data"), label_cube=P("data"))
+        # every CubeBatch field (including the optional pool_* arrays) is
+        # [B, ...] window-major -> shard along the data axis; building the
+        # spec tree from the batch keeps absent (None) fields absent
+        cube_specs = jax.tree.map(lambda _: P("data"), batch)
         return jax.shard_map(
             body,
             mesh=mesh,
@@ -206,8 +208,7 @@ def make_sharded_device_sampling_eval_step(model, cfg: StepConfig, mesh: Mesh, s
             metrics.update(_variable_metrics(pred_norm, labels, cfg))
             return jax.lax.pmean(metrics, axes)
 
-        cube_specs = CubeBatch(field=P("data"), forecast_h=P("data"),
-                               nwp_cube=P("data"), label_cube=P("data"))
+        cube_specs = jax.tree.map(lambda _: P("data"), batch)
         return jax.shard_map(
             body,
             mesh=mesh,

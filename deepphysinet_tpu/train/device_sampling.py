@@ -64,12 +64,21 @@ class CubeBatch(NamedTuple):
     HBM-latency-bound there; scripts/perf_capture_vs_arg.py and
     docs/PERF.md round-3 (i)).  Also removes the vmap batching penalty for
     B>1 window batches.  Build instances with cube_batch_host()/
-    cube_batch_from_items(), which do the one-time host-side transpose."""
+    cube_batch_from_items(), which do the one-time host-side transpose.
+
+    The three trailing ``pool_*`` fields are the OPTIONAL pre-permuted point
+    pool of the 'pool' sampler (see build_pool / sample_window_points_pooled):
+    when present, ``label_cube`` may be None (the pool holds every label row)
+    and the step's margin sampling is two contiguous slices instead of nm
+    random HBM gathers."""
 
     field: jnp.ndarray  # [B, L, enc_in]
     forecast_h: jnp.ndarray  # [B]
     nwp_cube: jnp.ndarray  # [B, H, W, T, 6] normalized NWP window
-    label_cube: jnp.ndarray  # [B, Hl, Wl, Tl, 6] normalized ERA5 window
+    label_cube: Optional[jnp.ndarray]  # [B, Hl, Wl, Tl, 6] normalized ERA5 window
+    pool_rows: Optional[jnp.ndarray] = None  # [B, X+pad, 6] permuted label rows
+    pool_idx: Optional[jnp.ndarray] = None  # [B, X+pad] int32 flat grid indices
+    pool_nwp: Optional[jnp.ndarray] = None  # [B, X+pad, 6] NWP cond at pool pts
 
 
 class DeviceLRU:
@@ -96,25 +105,93 @@ class DeviceLRU:
         return value
 
 
-def cube_batch_host(field, forecast_h, nwp_cube_cf, label_cube_cf) -> CubeBatch:
+def build_pool(label_cube_cl, pad: int, seed: int):
+    """Pre-permuted label-row pool for one window (host numpy, 'pool' sampler).
+
+    ``label_cube_cl``: [Hl, Wl, Tl, C] channel-last window.  Returns
+    ``(rows [X+pad, C] float32, idx [X+pad] int32)`` where row j holds the
+    label values of flat grid index ``idx[j] = (y*Wl + x)*Tl + slot`` (the
+    same flat encoding the iid sampler gathers with) and ``idx`` is a
+    uniform random permutation of all X = Hl*Wl*Tl grid points, padded with
+    its own first ``pad`` entries so any slice ``[off : off+pad)`` with
+    ``off < X`` stays in bounds.
+
+    Why: per-step random row-gathers from the 22 MB device-resident label
+    cube sit on the HBM gather-latency floor (~1 ms / 20480 points,
+    docs/PERF.md round-3 (i)).  Shuffling ONCE per window on the host (off
+    the critical path, amortized over the hundreds of steps a cached window
+    is resampled) turns every step's label lookup into one contiguous
+    dynamic-slice at a random offset -- sequential HBM traffic at
+    bandwidth, not latency.  Distribution: each step's points are a
+    contiguous chunk of a fixed uniform permutation -- marginally uniform
+    over the grid like the reference's iid draw (physics_dataset.py:
+    334-338), but without-replacement within a step (no duplicate points)
+    and negatively correlated across steps (the window's grid is covered
+    evenly every X/nm steps).  Documented divergence; the default 'iid'
+    sampler keeps the reference distribution exactly."""
+    import numpy as np
+
+    lab = np.asarray(label_cube_cl, np.float32)
+    Hl, Wl, Tl, C = lab.shape
+    X = Hl * Wl * Tl
+    perm = np.random.RandomState(seed).permutation(X).astype(np.int32)
+    rows = lab.reshape(X, C)[perm]
+    rows = np.concatenate([rows, rows[:pad]], axis=0)
+    idx = np.concatenate([perm, perm[:pad]], axis=0)
+    return np.ascontiguousarray(rows), np.ascontiguousarray(idx)
+
+
+def cube_batch_host(field, forecast_h, nwp_cube_cf, label_cube_cf,
+                    pool_pad: Optional[int] = None, pool_seeds=None,
+                    keep_label_cube: bool = True) -> CubeBatch:
     """Host numpy CubeBatch from REFERENCE channel-first cubes [B, 6, ...].
 
     The single place the channel-first -> channel-last layout decision is
     applied (one ~40 ms numpy transpose per window, amortized across the
-    hundreds of steps a cached window is resampled).  Caller device_puts."""
+    hundreds of steps a cached window is resampled).  Caller device_puts.
+
+    With ``pool_pad`` set, also builds the per-window pre-permuted label
+    pool (``build_pool``; pad must cover the largest n_margin any consumer
+    slices) using per-window ``pool_seeds``; ``keep_label_cube=False`` then
+    drops the raw label cube (the pool holds every row, halving the
+    window's device footprint).  ``pool_nwp`` is left None -- it is
+    computed ON DEVICE once per window (``attach_pool_nwp``) so the
+    conditioning values match the per-step interpolator exactly."""
     import numpy as np
 
+    label_cl = np.ascontiguousarray(
+        np.moveaxis(np.asarray(label_cube_cf, np.float32), 1, -1))
+    pool_rows = pool_idx = None
+    if pool_pad is not None:
+        B = label_cl.shape[0]
+        if pool_seeds is None:
+            pool_seeds = list(range(B))
+        pools = [build_pool(label_cl[b], pool_pad, int(pool_seeds[b]))
+                 for b in range(B)]
+        pool_rows = np.stack([p[0] for p in pools])
+        pool_idx = np.stack([p[1] for p in pools])
     return CubeBatch(
         field=np.asarray(field, np.float32),
         forecast_h=np.asarray(forecast_h, np.float32).reshape(-1),
         nwp_cube=np.ascontiguousarray(
             np.moveaxis(np.asarray(nwp_cube_cf, np.float32), 1, -1)),
-        label_cube=np.ascontiguousarray(
-            np.moveaxis(np.asarray(label_cube_cf, np.float32), 1, -1)),
+        label_cube=label_cl if (keep_label_cube or pool_pad is None) else None,
+        pool_rows=pool_rows,
+        pool_idx=pool_idx,
     )
 
 
-def cube_batch_from_items(items) -> CubeBatch:
+def _pool_seed_of(key) -> int:
+    """Deterministic 31-bit pool seed from a window identity (e.g. its
+    input_file tuple) -- every process builds the SAME pool for the same
+    window, so multi-host runs stay layout-invariant."""
+    import zlib
+
+    return zlib.crc32(repr(key).encode()) & 0x7FFFFFFF
+
+
+def cube_batch_from_items(items, pool_pad: Optional[int] = None,
+                          keep_label_cube: bool = True) -> CubeBatch:
     """Host numpy CubeBatch from a list of ``get_cube_item`` dicts."""
     import numpy as np
 
@@ -123,6 +200,10 @@ def cube_batch_from_items(items) -> CubeBatch:
         np.asarray([np.float32(it["forecast_h"]) for it in items], np.float32),
         np.stack([np.asarray(it["nwp_cube"], np.float32) for it in items]),
         np.stack([np.asarray(it["label_cube"], np.float32) for it in items]),
+        pool_pad=pool_pad,
+        pool_seeds=[_pool_seed_of(it.get("input_file", i))
+                    for i, it in enumerate(items)],
+        keep_label_cube=keep_label_cube,
     )
 
 
@@ -141,6 +222,59 @@ class SamplerConfig:
 
 def _coriolis_from_lat(lat_deg: jnp.ndarray) -> jnp.ndarray:
     return (2.0 * OMEGA * jnp.sin(lat_deg / 180.0 * jnp.pi))[:, None]
+
+
+def _inter_points(k4, k5, k6, nwp_cube, Hl: int, Wl: int,
+                  scfg: SamplerConfig, coord_spec) -> PointBatch:
+    """Continuous collocation points for one window (shared by the iid and
+    pool samplers -- identical draws, so switching the margin sampler never
+    changes the PDE collocation stream)."""
+    ni = scfg.n_inter
+    ix = jax.random.uniform(k4, (ni,)) * (Wl - 1)
+    iy = jax.random.uniform(k5, (ni,)) * (Hl - 1)
+    it = jax.random.randint(k6, (ni,), 0, scfg.window_h + 1)
+    i_lon = scfg.begin_lon + ix * scfg.fine_step
+    i_lat = scfg.begin_lat + iy * scfg.fine_step
+    i_nwp = trilinear_interp_rows(
+        nwp_cube, i_lon, i_lat, it.astype(jnp.float32),
+        lon0=scfg.begin_lon, dlon=scfg.coarse_step,
+        lat0=scfg.begin_lat, dlat=scfg.coarse_step,
+        t0=0.0, dt=float(scfg.input_time_step),
+    )
+    return PointBatch(
+        x=(ix * coord_spec.dx).astype(jnp.float32),
+        y=(iy * coord_spec.dy).astype(jnp.float32),
+        t=(it * 3600.0).astype(jnp.float32),
+        f=_coriolis_from_lat(i_lat),
+        nwp=i_nwp.astype(jnp.float32),
+        labels=jnp.zeros((ni, 6), jnp.float32),
+    )
+
+
+def _inter_points_batched(k4, k5, k6, nwp_cube, Hl: int, Wl: int,
+                          scfg: SamplerConfig, coord_spec) -> PointBatch:
+    """Batched no-vmap form of :func:`_inter_points` (flat row gathers)."""
+    B = nwp_cube.shape[0]
+    ni = scfg.n_inter
+    ix = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k4) * (Wl - 1)
+    iy = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k5) * (Hl - 1)
+    it = jax.vmap(lambda k: jax.random.randint(k, (ni,), 0, scfg.window_h + 1))(k6)
+    i_lon = scfg.begin_lon + ix * scfg.fine_step
+    i_lat = scfg.begin_lat + iy * scfg.fine_step
+    i_nwp = trilinear_interp_rows_batched(
+        nwp_cube, i_lon, i_lat, it.astype(jnp.float32),
+        lon0=scfg.begin_lon, dlon=scfg.coarse_step,
+        lat0=scfg.begin_lat, dlat=scfg.coarse_step,
+        t0=0.0, dt=float(scfg.input_time_step),
+    )
+    return PointBatch(
+        x=(ix * coord_spec.dx).astype(jnp.float32),
+        y=(iy * coord_spec.dy).astype(jnp.float32),
+        t=(it * 3600.0).astype(jnp.float32),
+        f=(2.0 * OMEGA * jnp.sin(i_lat / 180.0 * jnp.pi))[..., None],
+        nwp=i_nwp.astype(jnp.float32),
+        labels=jnp.zeros((B, ni, 6), jnp.float32),
+    )
 
 
 def sample_window_points(
@@ -188,25 +322,7 @@ def sample_window_points(
     )
 
     # ---- inter: continuous collocation points ----
-    ix = jax.random.uniform(k4, (ni,)) * (Wl - 1)
-    iy = jax.random.uniform(k5, (ni,)) * (Hl - 1)
-    it = jax.random.randint(k6, (ni,), 0, scfg.window_h + 1)
-    i_lon = scfg.begin_lon + ix * scfg.fine_step
-    i_lat = scfg.begin_lat + iy * scfg.fine_step
-    i_nwp = trilinear_interp_rows(
-        nwp_cube, i_lon, i_lat, it.astype(jnp.float32),
-        lon0=scfg.begin_lon, dlon=scfg.coarse_step,
-        lat0=scfg.begin_lat, dlat=scfg.coarse_step,
-        t0=0.0, dt=float(scfg.input_time_step),
-    )
-    inter = PointBatch(
-        x=(ix * coord_spec.dx).astype(jnp.float32),
-        y=(iy * coord_spec.dy).astype(jnp.float32),
-        t=(it * 3600.0).astype(jnp.float32),
-        f=_coriolis_from_lat(i_lat),
-        nwp=i_nwp.astype(jnp.float32),
-        labels=jnp.zeros((ni, 6), jnp.float32),
-    )
+    inter = _inter_points(k4, k5, k6, nwp_cube, Hl, Wl, scfg, coord_spec)
     return margin, inter
 
 
@@ -264,26 +380,151 @@ def sample_window_points_batched(
     )
 
     # ---- inter: continuous collocation points ----
-    ix = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k4) * (Wl - 1)
-    iy = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k5) * (Hl - 1)
-    it = jax.vmap(lambda k: jax.random.randint(k, (ni,), 0, scfg.window_h + 1))(k6)
-    i_lon = scfg.begin_lon + ix * scfg.fine_step
-    i_lat = scfg.begin_lat + iy * scfg.fine_step
-    i_nwp = trilinear_interp_rows_batched(
-        nwp_cube, i_lon, i_lat, it.astype(jnp.float32),
-        lon0=scfg.begin_lon, dlon=scfg.coarse_step,
-        lat0=scfg.begin_lat, dlat=scfg.coarse_step,
-        t0=0.0, dt=float(scfg.input_time_step),
-    )
-    inter = PointBatch(
-        x=(ix * coord_spec.dx).astype(jnp.float32),
-        y=(iy * coord_spec.dy).astype(jnp.float32),
-        t=(it * 3600.0).astype(jnp.float32),
-        f=(2.0 * OMEGA * jnp.sin(i_lat / 180.0 * jnp.pi))[..., None],
-        nwp=i_nwp.astype(jnp.float32),
-        labels=jnp.zeros((B, ni, 6), jnp.float32),
-    )
+    inter = _inter_points_batched(k4, k5, k6, nwp_cube, Hl, Wl, scfg, coord_spec)
     return margin, inter
+
+
+def _decode_pool_idx(idx: jnp.ndarray, scfg: SamplerConfig, coord_spec):
+    """Flat pool index -> (x, y, slot) on the fine label grid.
+
+    Inverse of the iid sampler's flat encoding ``(y*Wl + x)*Tl + slot``
+    (sample_window_points above); the label grid is the output/fine grid
+    (coord_spec.lon_size x lat_size) with Tl = window_h/label_time_step + 1
+    slots, as in the reference's label sampling (physics_dataset.py:334-338).
+    """
+    Tl = scfg.window_h // scfg.label_time_step + 1
+    Wl = coord_spec.lon_size
+    slot = idx % Tl
+    rest = idx // Tl
+    return rest % Wl, rest // Wl, slot
+
+
+def _pooled_margin(k1, pool_rows, pool_idx, pool_nwp, scfg: SamplerConfig,
+                   coord_spec) -> PointBatch:
+    """One window's margin PointBatch from the pre-permuted pool.
+
+    Three contiguous dynamic-slices at one random offset replace the iid
+    sampler's nm random HBM row-gathers (sequential bandwidth vs gather
+    latency -- the round-3 (i) floor).  ``pool_nwp`` was precomputed once
+    per window by attach_pool_nwp with the SAME interpolator the iid
+    sampler runs per step."""
+    nm = scfg.n_margin
+    C = pool_rows.shape[-1]
+    X = pool_rows.shape[0] - nm  # un-padded pool length
+    off = jax.random.randint(k1, (), 0, X)
+    rows = jax.lax.dynamic_slice(pool_rows, (off, 0), (nm, C))
+    idx = jax.lax.dynamic_slice(pool_idx, (off,), (nm,))
+    cond = jax.lax.dynamic_slice(pool_nwp, (off, 0), (nm, C))
+    mx, my, slot = _decode_pool_idx(idx, scfg, coord_spec)
+    mt = slot * scfg.label_time_step
+    m_lat = (scfg.begin_lat + my * scfg.fine_step).astype(jnp.float32)
+    return PointBatch(
+        x=(mx * coord_spec.dx).astype(jnp.float32),
+        y=(my * coord_spec.dy).astype(jnp.float32),
+        t=(mt * 3600.0).astype(jnp.float32),
+        f=_coriolis_from_lat(m_lat),
+        nwp=cond.astype(jnp.float32),
+        labels=rows.astype(jnp.float32),
+    )
+
+
+def sample_window_points_pooled(
+    key: jax.Array,
+    nwp_cube: jnp.ndarray,  # [H, W, T, 6] channel-LAST coarse cube
+    pool_rows: jnp.ndarray,  # [X+nm, 6]
+    pool_idx: jnp.ndarray,  # [X+nm] int32
+    pool_nwp: jnp.ndarray,  # [X+nm, 6]
+    scfg: SamplerConfig,
+    coord_spec,
+) -> Tuple[PointBatch, PointBatch]:
+    """'pool'-sampler counterpart of :func:`sample_window_points`.
+
+    Margin points come from one contiguous chunk of the window's fixed
+    uniform permutation (build_pool); inter collocation points are drawn
+    EXACTLY as in the iid sampler (same key splits k4..k6), so the PDE
+    collocation stream is bitwise-unchanged by the sampler switch."""
+    k1, _, _, k4, k5, k6 = jax.random.split(key, 6)
+    margin = _pooled_margin(k1, pool_rows, pool_idx, pool_nwp, scfg, coord_spec)
+    inter = _inter_points(k4, k5, k6, nwp_cube,
+                          coord_spec.lat_size, coord_spec.lon_size,
+                          scfg, coord_spec)
+    return margin, inter
+
+
+def sample_window_points_pooled_batched(
+    keys: jax.Array,  # [B]
+    nwp_cube: jnp.ndarray,  # [B, H, W, T, 6]
+    pool_rows: jnp.ndarray,  # [B, X+nm, 6]
+    pool_idx: jnp.ndarray,  # [B, X+nm]
+    pool_nwp: jnp.ndarray,  # [B, X+nm, 6]
+    scfg: SamplerConfig,
+    coord_spec,
+) -> Tuple[PointBatch, PointBatch]:
+    """Batched pooled sampler (leading [B]), same draws as the single form.
+
+    The margin side vmaps cheaply -- vmapped dynamic_slice lowers to B
+    contiguous slice-gathers, nothing like the random-row gathers that made
+    vmap expensive for the iid sampler; the inter side reuses the shared
+    no-vmap batched gathers."""
+    ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)  # [B, 6, key]
+    margin = jax.vmap(
+        lambda k, pr, pi, pn: _pooled_margin(k, pr, pi, pn, scfg, coord_spec)
+    )(ks[:, 0], pool_rows, pool_idx, pool_nwp)
+    inter = _inter_points_batched(ks[:, 3], ks[:, 4], ks[:, 5], nwp_cube,
+                                  coord_spec.lat_size, coord_spec.lon_size,
+                                  scfg, coord_spec)
+    return margin, inter
+
+
+def attach_pool_nwp(cube: CubeBatch, scfg: SamplerConfig, coord_spec,
+                    chunk: int = 65536) -> CubeBatch:
+    """Fill ``cube.pool_nwp``: NWP conditioning at every pool point, ON DEVICE.
+
+    One chunked pass of the SAME trilinear interpolator the per-step
+    sampler uses (ops/interp.py), run once per window when the cube enters
+    the device cache (~tens of ms, amortized over the hundreds of steps the
+    window is resampled) -- the per-step margin interpolation then
+    disappears from the hot program.  Computing on device from the tiny
+    coarse cube costs zero extra host->device transfer, unlike shipping a
+    host-precomputed [X, 6] array."""
+    if cube.pool_rows is None or cube.pool_nwp is not None:
+        return cube
+    fn = _pool_nwp_fn(scfg, coord_spec, chunk)
+    return cube._replace(pool_nwp=fn(cube.nwp_cube, cube.pool_idx))
+
+
+@functools.lru_cache(maxsize=None)
+def _pool_nwp_fn(scfg: SamplerConfig, coord_spec, chunk: int):
+    """Cached jitted pool-conditioning program (one compile per geometry,
+    reused across every window build)."""
+
+    @jax.jit
+    def compute(nwp_cube, pool_idx):
+        Xpad = pool_idx.shape[1]
+        npad = (-Xpad) % chunk
+        idx_p = jnp.pad(pool_idx, ((0, 0), (0, npad)))
+        nchunks = idx_p.shape[1] // chunk
+
+        def one_window(cube_b, idx_b):
+            def body(carry, ix):
+                mx, my, slot = _decode_pool_idx(ix, scfg, coord_spec)
+                mt = slot * scfg.label_time_step
+                lon = (scfg.begin_lon + mx * scfg.fine_step).astype(jnp.float32)
+                lat = (scfg.begin_lat + my * scfg.fine_step).astype(jnp.float32)
+                out = trilinear_interp_rows(
+                    cube_b, lon, lat, mt.astype(jnp.float32),
+                    lon0=scfg.begin_lon, dlon=scfg.coarse_step,
+                    lat0=scfg.begin_lat, dlat=scfg.coarse_step,
+                    t0=0.0, dt=float(scfg.input_time_step),
+                ).astype(jnp.float32)
+                return carry, out
+
+            _, outs = jax.lax.scan(body, 0, idx_b.reshape(nchunks, chunk))
+            return outs.reshape(nchunks * chunk, -1)[:Xpad]
+
+        return jax.vmap(one_window)(nwp_cube, idx_p)
+
+    return compute
 
 
 def make_ds_loss_fn(model, cfg: StepConfig, scfg: SamplerConfig):
@@ -300,10 +541,18 @@ def make_ds_loss_fn(model, cfg: StepConfig, scfg: SamplerConfig):
         tokens = model.apply(params, batch.field, fh_norm, method=PhysicsNet.encode)
         # Sampling runs BATCHED OUTSIDE the vmap: vmapping the gathers costs
         # ~1.3 ms/step on v5e (docs/PERF.md round-3 (i)); the points drawn
-        # are bitwise-identical to the per-window form.
-        margin, inter = sample_window_points_batched(
-            keys, batch.nwp_cube, batch.label_cube, scfg, cfg.coord_spec
-        )
+        # are bitwise-identical to the per-window form.  Batches carrying a
+        # pre-permuted pool (train_cfg.tpu.ds_sampler='pool') use the
+        # contiguous-slice sampler instead of the random gathers.
+        if batch.pool_rows is not None:
+            margin, inter = sample_window_points_pooled_batched(
+                keys, batch.nwp_cube, batch.pool_rows, batch.pool_idx,
+                batch.pool_nwp, scfg, cfg.coord_spec
+            )
+        else:
+            margin, inter = sample_window_points_batched(
+                keys, batch.nwp_cube, batch.label_cube, scfg, cfg.coord_spec
+            )
 
         def one_window(tokens_b, fh_b, margin_b, inter_b):
             return _window_losses(

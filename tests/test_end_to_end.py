@@ -127,6 +127,36 @@ def test_device_sampling_trainer_async_ckpt(tmp_path_factory):
     assert step2 == 5
 
 
+def test_device_sampling_trainer_pool_sampler(tmp_path_factory):
+    """The device-sampling trainer with ds_sampler='pool' (pre-permuted
+    per-window label pools, contiguous-slice margin sampling): trains,
+    validates (the pooled valid cubes share the eval path), checkpoints,
+    and resumes -- the full production loop on the pool data path."""
+    root = str(tmp_path_factory.mktemp("e2e_poolmode"))
+    os.environ["DPN_SMOKE_DATA"] = root
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
+    conf = cfg["config"]
+    tpu = conf["train_cfg"].setdefault("tpu", {})
+    tpu["sample_mode"] = "device"
+    tpu["ds_sampler"] = "pool"
+
+    models = builder_models(**conf)
+    models.run_train_interface(max_steps=3)
+    ckpts = glob.glob(os.path.join(root, "checkpoints", "physics_*.ckpt"))
+    assert any("latest" in c for c in ckpts)
+
+    from deepphysinet_tpu.train import checkpoint as ckpt_mod
+
+    state, _, step = ckpt_mod.load_checkpoint(os.path.join(root, "checkpoints"))
+    assert step == 3
+    # resume continues on the pool path
+    models2 = builder_models(**conf)
+    models2.run_train_interface()
+    _, _, step2 = ckpt_mod.load_checkpoint(os.path.join(root, "checkpoints"))
+    assert step2 == 5
+
+
 def test_final_epoch_always_saved(tmp_path_factory):
     """A natural finish on a non-multiple-of-save_step epoch must still save:
     with save_step > num_epoch, the only guaranteed checkpoint is the final
