@@ -10,6 +10,8 @@ from deepphysinet_tpu.ops.interp import (
     trilinear_interp_cube,
     trilinear_interp_rows,
     trilinear_interp_rows_batched,
+    trilinear_interp_table,
+    trilinear_interp_table_batched,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "trilinear_interp_cube",
     "trilinear_interp_rows",
     "trilinear_interp_rows_batched",
+    "trilinear_interp_table",
+    "trilinear_interp_table_batched",
 ]

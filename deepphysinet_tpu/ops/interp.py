@@ -108,6 +108,73 @@ def _lerp_rows(take, corners, weights):
     return c0 * (1 - wy) + c1 * wy
 
 
+def trilinear_interp_table(
+    table: jnp.ndarray,  # [H*W*T, C] channel-last row table
+    dims,  # STATIC (H, W, T)
+    lon_pts: jnp.ndarray,  # [N]
+    lat_pts: jnp.ndarray,  # [N]
+    t_pts: jnp.ndarray,  # [N]
+    lon0: float,
+    dlon: float,
+    lat0: float,
+    dlat: float,
+    t0: float = 0.0,
+    dt: float = 6.0,
+) -> jnp.ndarray:
+    """Row-TABLE trilinear interp -> [N, C]: one row gather per corner.
+
+    The cube arrives pre-flattened ([X, C], X = H*W*T) with the grid
+    geometry passed STATICALLY.  This is the production device form: XLA
+    assigns >2-D runtime parameters a tiled device layout for which the
+    in-program ``reshape(-1, C)`` is a real relayout copy -- ~1 ms for the
+    22 MB label cube, ~10x the gather it feeds (scripts/perf_gather_shape.py;
+    docs/PERF.md round-3 (k)).  2-D row tables keep the cheap layout, so
+    the gather runs at its isolated cost."""
+    H, W, T = dims
+    corners, weights = _rows_weights(
+        (lat_pts - lat0) / dlat, (lon_pts - lon0) / dlon, (t_pts - t0) / dt,
+        H, W, T)
+
+    def take(yi, xi, ti):
+        return jnp.take(table, (yi * W + xi) * T + ti, axis=0)  # [N, C]
+
+    return _lerp_rows(take, corners, weights)
+
+
+def trilinear_interp_table_batched(
+    table: jnp.ndarray,  # [B*H*W*T, C] window-major row table
+    dims,  # STATIC (H, W, T)
+    lon_pts: jnp.ndarray,  # [B, N]
+    lat_pts: jnp.ndarray,  # [B, N]
+    t_pts: jnp.ndarray,  # [B, N]
+    lon0: float,
+    dlon: float,
+    lat0: float,
+    dlat: float,
+    t0: float = 0.0,
+    dt: float = 6.0,
+) -> jnp.ndarray:
+    """Batch-of-windows trilinear_interp_table -> [B, N, C], WITHOUT vmap.
+
+    vmap lowers the corner lookups to batched gathers that XLA schedules
+    ~3.6x slower on TPU (scripts/perf_vmap_sampler.py); instead the batch
+    enters through the absolute row index ``b*H*W*T + flat``.
+    Bitwise-identical to vmap over windows -- tested in tests/test_interp.py."""
+    H, W, T = dims
+    X = H * W * T
+    off = (jnp.arange(lon_pts.shape[0], dtype=jnp.int32) * X)[:, None]  # [B, 1]
+    corners, weights = _rows_weights(
+        (lat_pts - lat0) / dlat, (lon_pts - lon0) / dlon, (t_pts - t0) / dt,
+        H, W, T)
+    N, C = lon_pts.shape[-1], table.shape[-1]
+
+    def take(yi, xi, ti):
+        idx = (yi * W + xi) * T + ti + off  # [B, N]
+        return jnp.take(table, idx.reshape(-1), axis=0).reshape(-1, N, C)
+
+    return _lerp_rows(take, corners, weights)
+
+
 def trilinear_interp_rows(
     cube: jnp.ndarray,  # [H, W, T, C] channel-LAST
     lon_pts: jnp.ndarray,  # [N]
@@ -122,26 +189,18 @@ def trilinear_interp_rows(
 ) -> jnp.ndarray:
     """Channel-last trilinear interp -> [N, C]: one ROW gather per corner.
 
-    The TPU-native layout choice for scattered-point conditioning: with the
-    cube stored channel-LAST, each sampled point's C variables are
+    With the cube stored channel-LAST, each sampled point's C variables are
     contiguous, so every corner lookup is a single row gather of [N, C]
-    from the [H*W*T, C] operand.  In isolation on v5e, with the cube as a
-    runtime argument (the production case -- cubes are per-window inputs,
-    not compile-time constants), the row gather measures ~8x faster than
-    the channel-first form (scripts/perf_capture_vs_arg.py: 1093 -> 135 us
-    for a 20480-point gather); inside the full training program the win is
-    smaller because large-operand gathers are HBM-latency-bound there --
-    measurements and negative results in docs/PERF.md round-3 (i)."""
+    from the [H*W*T, C] operand -- ~8x faster than the channel-first form
+    on v5e (scripts/perf_capture_vs_arg.py; docs/PERF.md round-3 (i)).
+    NOTE: when the cube is a RUNTIME ARGUMENT on TPU, the in-program
+    flatten below pays XLA's tiled-parameter relayout (~1 ms for a 22 MB
+    cube -- round-3 (k)); hot paths should pre-flatten on the host and
+    call :func:`trilinear_interp_table` instead."""
     H, W, T = cube.shape[-4:-1]
-    corners, weights = _rows_weights(
-        (lat_pts - lat0) / dlat, (lon_pts - lon0) / dlon, (t_pts - t0) / dt,
-        H, W, T)
-    flat = cube.reshape(H * W * T, cube.shape[-1])
-
-    def take(yi, xi, ti):
-        return jnp.take(flat, (yi * W + xi) * T + ti, axis=0)  # [N, C]
-
-    return _lerp_rows(take, corners, weights)
+    return trilinear_interp_table(
+        cube.reshape(H * W * T, cube.shape[-1]), (H, W, T),
+        lon_pts, lat_pts, t_pts, lon0, dlon, lat0, dlat, t0, dt)
 
 
 def trilinear_interp_rows_batched(
@@ -158,24 +217,13 @@ def trilinear_interp_rows_batched(
 ) -> jnp.ndarray:
     """Batch-of-windows trilinear_interp_rows -> [B, N, C], WITHOUT vmap.
 
-    vmap lowers the corner lookups to batched gathers that XLA schedules
-    ~3.6x slower on TPU (scripts/perf_vmap_sampler.py).  Channel-last makes
-    the batch fold FREE: the batch axis is major, so [B,H,W,T,C] reshapes
-    to [B*H*W*T, C] with no data movement and the batch enters through the
-    absolute row index ``b*H*W*T + flat``.  Bitwise-identical to
+    Channel-last makes the batch fold a bitcast in row-major layout
+    ([B,H,W,T,C] -> [B*H*W*T, C]); see trilinear_interp_rows for the TPU
+    runtime-argument relayout caveat (hot paths pre-flatten and call
+    trilinear_interp_table_batched).  Bitwise-identical to
     vmap(trilinear_interp_rows) -- tested in tests/test_interp.py."""
     B = cube.shape[0]
     H, W, T = cube.shape[-4:-1]
-    corners, weights = _rows_weights(
-        (lat_pts - lat0) / dlat, (lon_pts - lon0) / dlon, (t_pts - t0) / dt,
-        H, W, T)
-    X = H * W * T
-    flat = cube.reshape(B * X, cube.shape[-1])
-    off = (jnp.arange(B, dtype=jnp.int32) * X)[:, None]  # [B, 1]
-    N, C = lon_pts.shape[-1], cube.shape[-1]
-
-    def take(yi, xi, ti):
-        idx = (yi * W + xi) * T + ti + off  # [B, N]
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(B, N, C)
-
-    return _lerp_rows(take, corners, weights)
+    return trilinear_interp_table_batched(
+        cube.reshape(B * H * W * T, cube.shape[-1]), (H, W, T),
+        lon_pts, lat_pts, t_pts, lon0, dlon, lat0, dlat, t0, dt)

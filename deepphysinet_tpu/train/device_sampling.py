@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from deepphysinet_tpu.ops.coords import OMEGA
 from deepphysinet_tpu.ops.interp import (
     trilinear_interp_rows,
-    trilinear_interp_rows_batched,
+    trilinear_interp_table,
+    trilinear_interp_table_batched,
 )
 from deepphysinet_tpu.train.train_step import (
     PointBatch,
@@ -52,30 +53,37 @@ from deepphysinet_tpu.train.losses import build_loss
 
 
 class CubeBatch(NamedTuple):
-    """Per-window device cubes, channel-LAST.
+    """Per-window device cubes as channel-LAST, window-major ROW TABLES.
 
     The host/reference layout is channel-first ([6, H, W, T],
     dataset/physics_dataset.py window assembly); on DEVICE the cubes are
     stored channel-last so that every sampled point's 6 variables are one
     contiguous row -- each label lookup / interp corner is then a single
-    row gather from a [H*W*T, 6] operand (isolated: ~8x faster on v5e than
-    gathering the channel-first layout passed as a runtime argument;
-    in-program the win is smaller -- large-operand gathers are
-    HBM-latency-bound there; scripts/perf_capture_vs_arg.py and
-    docs/PERF.md round-3 (i)).  Also removes the vmap batching penalty for
-    B>1 window batches.  Build instances with cube_batch_host()/
-    cube_batch_from_items(), which do the one-time host-side transpose.
+    row gather (isolated: ~8x faster on v5e than gathering the
+    channel-first layout; docs/PERF.md round-3 (i)) -- AND pre-flattened to
+    2-D ``[B*H*W*T, 6]`` row tables with the grid geometry carried
+    statically (SamplerConfig + CoordSpec, see label_grid_dims /
+    coarse_grid_dims): XLA assigns >2-D runtime parameters a tiled device
+    layout for which an in-program ``reshape(-1, 6)`` is a ~1 ms relayout
+    copy of the 22 MB label cube -- ~10x the gather it feeds
+    (scripts/perf_gather_shape.py; round-3 (k)).  2-D tables keep the cheap
+    layout at every window batch size, and the window fold stays exact:
+    row ``b*X + flat`` is window b's grid point ``flat``.  Build instances
+    with cube_batch_host()/cube_batch_from_items(), which do the one-time
+    host-side transpose+flatten.
 
     The three trailing ``pool_*`` fields are the OPTIONAL pre-permuted point
     pool of the 'pool' sampler (see build_pool / sample_window_points_pooled):
     when present, ``label_cube`` may be None (the pool holds every label row)
     and the step's margin sampling is two contiguous slices instead of nm
-    random HBM gathers."""
+    random HBM gathers.  Pool arrays keep their per-window leading axis:
+    their per-step ops are dynamic-SLICES, which read tiled layouts
+    directly (no relayout), and the slice offsets are per-window."""
 
     field: jnp.ndarray  # [B, L, enc_in]
     forecast_h: jnp.ndarray  # [B]
-    nwp_cube: jnp.ndarray  # [B, H, W, T, 6] normalized NWP window
-    label_cube: Optional[jnp.ndarray]  # [B, Hl, Wl, Tl, 6] normalized ERA5 window
+    nwp_cube: jnp.ndarray  # [B*Hc*Wc*Tc, 6] normalized NWP window rows
+    label_cube: Optional[jnp.ndarray]  # [B*Hl*Wl*Tl, 6] normalized ERA5 rows
     pool_rows: Optional[jnp.ndarray] = None  # [B, X+pad, 6] permuted label rows
     pool_idx: Optional[jnp.ndarray] = None  # [B, X+pad] int32 flat grid indices
     pool_nwp: Optional[jnp.ndarray] = None  # [B, X+pad, 6] NWP cond at pool pts
@@ -161,21 +169,26 @@ def cube_batch_host(field, forecast_h, nwp_cube_cf, label_cube_cf,
 
     label_cl = np.ascontiguousarray(
         np.moveaxis(np.asarray(label_cube_cf, np.float32), 1, -1))
+    B, C = label_cl.shape[0], label_cl.shape[-1]
     pool_rows = pool_idx = None
     if pool_pad is not None:
-        B = label_cl.shape[0]
         if pool_seeds is None:
             pool_seeds = list(range(B))
         pools = [build_pool(label_cl[b], pool_pad, int(pool_seeds[b]))
                  for b in range(B)]
         pool_rows = np.stack([p[0] for p in pools])
         pool_idx = np.stack([p[1] for p in pools])
+    nwp_cl = np.ascontiguousarray(
+        np.moveaxis(np.asarray(nwp_cube_cf, np.float32), 1, -1))
     return CubeBatch(
         field=np.asarray(field, np.float32),
         forecast_h=np.asarray(forecast_h, np.float32).reshape(-1),
-        nwp_cube=np.ascontiguousarray(
-            np.moveaxis(np.asarray(nwp_cube_cf, np.float32), 1, -1)),
-        label_cube=label_cl if (keep_label_cube or pool_pad is None) else None,
+        # 2-D window-major row tables: free on the host (the channel-last
+        # arrays are already row-major), avoids the TPU tiled-parameter
+        # relayout on device (see CubeBatch)
+        nwp_cube=nwp_cl.reshape(-1, nwp_cl.shape[-1]),
+        label_cube=(label_cl.reshape(-1, C)
+                    if (keep_label_cube or pool_pad is None) else None),
         pool_rows=pool_rows,
         pool_idx=pool_idx,
     )
@@ -220,6 +233,52 @@ class SamplerConfig:
     coarse_step: float = 1.0
 
 
+def label_grid_dims(scfg: SamplerConfig, coord_spec) -> Tuple[int, int, int]:
+    """STATIC (Hl, Wl, Tl) of the label/fine grid.
+
+    The label grid is the output grid (coord_spec.lat_size x lon_size) with
+    one slice every label_time_step hours over the window, exactly the
+    reference's label sampling domain (physics_dataset.py:334-338) and the
+    same derivation the pool sampler's _decode_pool_idx already uses.  Row
+    tables (CubeBatch) carry no grid shape; this is the single source."""
+    return (coord_spec.lat_size, coord_spec.lon_size,
+            scfg.window_h // scfg.label_time_step + 1)
+
+
+def coarse_grid_dims(scfg: SamplerConfig, coord_spec) -> Tuple[int, int, int]:
+    """STATIC (Hc, Wc, Tc) of the coarse NWP grid.
+
+    The coarse grid covers the same bbox at coarse_step spacing
+    (1 deg vs 0.25 deg -> 37x65 for the 145x257 study area) with one slice
+    every input_time_step hours (tools/cvt_grib_to_nc.py grid; SURVEY 2.2)."""
+    r = scfg.fine_step / scfg.coarse_step
+    return (int(round((coord_spec.lat_size - 1) * r)) + 1,
+            int(round((coord_spec.lon_size - 1) * r)) + 1,
+            scfg.window_h // scfg.input_time_step + 1)
+
+
+def _as_row_table(cube: jnp.ndarray, dims: Tuple[int, int, int], B: int,
+                  name: str) -> jnp.ndarray:
+    """Normalize a cube argument to the 2-D ``[B*H*W*T, C]`` row table.
+
+    Accepts the production table form (returned as-is) or the legacy
+    5-D ``[B, H, W, T, C]`` form (shape-checked against the STATIC dims,
+    then flattened in-program -- correct everywhere, but on TPU a runtime
+    5-D argument pays the tiled-layout relayout; docs/PERF.md round-3 (k))."""
+    if cube.ndim == 2:
+        X = dims[0] * dims[1] * dims[2]
+        if cube.shape[0] != B * X:
+            raise ValueError(
+                f"{name} row table has {cube.shape[0]} rows, expected "
+                f"B*H*W*T = {B}*{X} for static dims {dims}")
+        return cube
+    if tuple(cube.shape[1:4]) != tuple(dims):
+        raise ValueError(
+            f"{name} grid dims {tuple(cube.shape[1:4])} do not match the "
+            f"config-derived static dims {dims}")
+    return cube.reshape(-1, cube.shape[-1])
+
+
 def _coriolis_from_lat(lat_deg: jnp.ndarray) -> jnp.ndarray:
     return (2.0 * OMEGA * jnp.sin(lat_deg / 180.0 * jnp.pi))[:, None]
 
@@ -251,18 +310,23 @@ def _inter_points(k4, k5, k6, nwp_cube, Hl: int, Wl: int,
     )
 
 
-def _inter_points_batched(k4, k5, k6, nwp_cube, Hl: int, Wl: int,
+def _inter_points_batched(k4, k5, k6, nwp_tab,
                           scfg: SamplerConfig, coord_spec) -> PointBatch:
-    """Batched no-vmap form of :func:`_inter_points` (flat row gathers)."""
-    B = nwp_cube.shape[0]
+    """Batched no-vmap form of :func:`_inter_points` (flat row gathers).
+
+    ``nwp_tab`` is the 2-D ``[B*Hc*Wc*Tc, 6]`` row table (CubeBatch); the
+    fine/coarse grid geometry is static (label_grid_dims/coarse_grid_dims)."""
+    B = k4.shape[0]
+    Hl, Wl, _ = label_grid_dims(scfg, coord_spec)
     ni = scfg.n_inter
     ix = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k4) * (Wl - 1)
     iy = jax.vmap(lambda k: jax.random.uniform(k, (ni,)))(k5) * (Hl - 1)
     it = jax.vmap(lambda k: jax.random.randint(k, (ni,), 0, scfg.window_h + 1))(k6)
     i_lon = scfg.begin_lon + ix * scfg.fine_step
     i_lat = scfg.begin_lat + iy * scfg.fine_step
-    i_nwp = trilinear_interp_rows_batched(
-        nwp_cube, i_lon, i_lat, it.astype(jnp.float32),
+    i_nwp = trilinear_interp_table_batched(
+        nwp_tab, coarse_grid_dims(scfg, coord_spec),
+        i_lon, i_lat, it.astype(jnp.float32),
         lon0=scfg.begin_lon, dlon=scfg.coarse_step,
         lat0=scfg.begin_lat, dlat=scfg.coarse_step,
         t0=0.0, dt=float(scfg.input_time_step),
@@ -328,8 +392,8 @@ def sample_window_points(
 
 def sample_window_points_batched(
     keys: jax.Array,  # [B] per-window keys
-    nwp_cube: jnp.ndarray,  # [B, H, W, T, 6] channel-LAST
-    label_cube: jnp.ndarray,  # [B, Hl, Wl, Tl, 6] channel-LAST
+    nwp_cube: jnp.ndarray,  # [B*Hc*Wc*Tc, 6] row table (or legacy 5-D)
+    label_cube: jnp.ndarray,  # [B*Hl*Wl*Tl, 6] row table (or legacy 5-D)
     scfg: SamplerConfig,
     coord_spec,
 ) -> Tuple[PointBatch, PointBatch]:
@@ -338,13 +402,19 @@ def sample_window_points_batched(
     ``jax.vmap(sample_window_points)`` lowers the gathers ~3.6x slower on
     v5e (scripts/perf_vmap_sampler.py).  This version draws the SAME
     per-window random points (RNG ops vmap elementwise, penalty-free) but
-    runs every lookup as a flat ROW gather: channel-last cubes make the
-    batch fold free ([B,...,6] -> [B*X, 6] with no data movement, batch
-    enters via the absolute row index).  Bitwise-equal outputs to
-    vmap(sample_window_points) -- tested in tests/test_device_sampling.py."""
-    B = label_cube.shape[0]
-    Hl, Wl, Tl = label_cube.shape[1], label_cube.shape[2], label_cube.shape[3]
-    nm, ni = scfg.n_margin, scfg.n_inter
+    runs every lookup as a flat ROW gather from the 2-D window-major row
+    tables (CubeBatch: batch enters via the absolute row index; the 2-D
+    form also avoids the ~1 ms tiled-parameter relayout a runtime 5-D cube
+    pays on TPU -- docs/PERF.md round-3 (k)).  Bitwise-equal outputs to
+    vmap(sample_window_points) on the 5-D cubes -- tested in
+    tests/test_device_sampling.py."""
+    B = keys.shape[0]
+    ldims = label_grid_dims(scfg, coord_spec)
+    label_tab = _as_row_table(label_cube, ldims, B, "label_cube")
+    nwp_tab = _as_row_table(nwp_cube, coarse_grid_dims(scfg, coord_spec), B,
+                            "nwp_cube")
+    Hl, Wl, Tl = ldims
+    nm = scfg.n_margin
     ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)  # [B, 6, key]
     k1, k2, k3 = ks[:, 0], ks[:, 1], ks[:, 2]
     k4, k5, k6 = ks[:, 3], ks[:, 4], ks[:, 5]
@@ -352,18 +422,17 @@ def sample_window_points_batched(
     # ---- margin: integer fine-grid points with exact label gather ----
     mx = jax.vmap(lambda k: jax.random.randint(k, (nm,), 0, Wl))(k1)  # [B, nm]
     my = jax.vmap(lambda k: jax.random.randint(k, (nm,), 0, Hl))(k2)
-    n_slots = scfg.window_h // scfg.label_time_step + 1
-    slot = jax.vmap(lambda k: jax.random.randint(k, (nm,), 0, n_slots))(k3)
+    slot = jax.vmap(lambda k: jax.random.randint(k, (nm,), 0, Tl))(k3)
     mt = slot * scfg.label_time_step
     X = Hl * Wl * Tl
     flat = (my * Wl + mx) * Tl + slot + (jnp.arange(B, dtype=jnp.int32) * X)[:, None]
-    labels = jnp.take(label_cube.reshape(B * X, 6), flat.reshape(-1), axis=0)
-    labels = labels.reshape(B, nm, 6)
+    labels = jnp.take(label_tab, flat.reshape(-1), axis=0).reshape(B, nm, 6)
 
     m_lon = scfg.begin_lon + mx * scfg.fine_step
     m_lat = scfg.begin_lat + my * scfg.fine_step
-    m_nwp = trilinear_interp_rows_batched(
-        nwp_cube, m_lon.astype(jnp.float32), m_lat.astype(jnp.float32),
+    m_nwp = trilinear_interp_table_batched(
+        nwp_tab, coarse_grid_dims(scfg, coord_spec),
+        m_lon.astype(jnp.float32), m_lat.astype(jnp.float32),
         mt.astype(jnp.float32),
         lon0=scfg.begin_lon, dlon=scfg.coarse_step,
         lat0=scfg.begin_lat, dlat=scfg.coarse_step,
@@ -380,7 +449,7 @@ def sample_window_points_batched(
     )
 
     # ---- inter: continuous collocation points ----
-    inter = _inter_points_batched(k4, k5, k6, nwp_cube, Hl, Wl, scfg, coord_spec)
+    inter = _inter_points_batched(k4, k5, k6, nwp_tab, scfg, coord_spec)
     return margin, inter
 
 
@@ -453,7 +522,7 @@ def sample_window_points_pooled(
 
 def sample_window_points_pooled_batched(
     keys: jax.Array,  # [B]
-    nwp_cube: jnp.ndarray,  # [B, H, W, T, 6]
+    nwp_cube: jnp.ndarray,  # [B*Hc*Wc*Tc, 6] row table (or legacy 5-D)
     pool_rows: jnp.ndarray,  # [B, X+nm, 6]
     pool_idx: jnp.ndarray,  # [B, X+nm]
     pool_nwp: jnp.ndarray,  # [B, X+nm, 6]
@@ -466,12 +535,13 @@ def sample_window_points_pooled_batched(
     contiguous slice-gathers, nothing like the random-row gathers that made
     vmap expensive for the iid sampler; the inter side reuses the shared
     no-vmap batched gathers."""
+    nwp_tab = _as_row_table(nwp_cube, coarse_grid_dims(scfg, coord_spec),
+                            keys.shape[0], "nwp_cube")
     ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)  # [B, 6, key]
     margin = jax.vmap(
         lambda k, pr, pi, pn: _pooled_margin(k, pr, pi, pn, scfg, coord_spec)
     )(ks[:, 0], pool_rows, pool_idx, pool_nwp)
-    inter = _inter_points_batched(ks[:, 3], ks[:, 4], ks[:, 5], nwp_cube,
-                                  coord_spec.lat_size, coord_spec.lon_size,
+    inter = _inter_points_batched(ks[:, 3], ks[:, 4], ks[:, 5], nwp_tab,
                                   scfg, coord_spec)
     return margin, inter
 
@@ -500,19 +570,25 @@ def _pool_nwp_fn(scfg: SamplerConfig, coord_spec, chunk: int):
 
     @jax.jit
     def compute(nwp_cube, pool_idx):
-        Xpad = pool_idx.shape[1]
+        B, Xpad = pool_idx.shape
+        cdims = coarse_grid_dims(scfg, coord_spec)
+        nwp_tab = _as_row_table(nwp_cube, cdims, B, "nwp_cube")
+        Xc = cdims[0] * cdims[1] * cdims[2]
         npad = (-Xpad) % chunk
         idx_p = jnp.pad(pool_idx, ((0, 0), (0, npad)))
         nchunks = idx_p.shape[1] // chunk
 
-        def one_window(cube_b, idx_b):
+        def one_window(b, idx_b):
+            tab_b = jax.lax.dynamic_slice(
+                nwp_tab, (b * Xc, 0), (Xc, nwp_tab.shape[-1]))
+
             def body(carry, ix):
                 mx, my, slot = _decode_pool_idx(ix, scfg, coord_spec)
                 mt = slot * scfg.label_time_step
                 lon = (scfg.begin_lon + mx * scfg.fine_step).astype(jnp.float32)
                 lat = (scfg.begin_lat + my * scfg.fine_step).astype(jnp.float32)
-                out = trilinear_interp_rows(
-                    cube_b, lon, lat, mt.astype(jnp.float32),
+                out = trilinear_interp_table(
+                    tab_b, cdims, lon, lat, mt.astype(jnp.float32),
                     lon0=scfg.begin_lon, dlon=scfg.coarse_step,
                     lat0=scfg.begin_lat, dlat=scfg.coarse_step,
                     t0=0.0, dt=float(scfg.input_time_step),
@@ -522,7 +598,7 @@ def _pool_nwp_fn(scfg: SamplerConfig, coord_spec, chunk: int):
             _, outs = jax.lax.scan(body, 0, idx_b.reshape(nchunks, chunk))
             return outs.reshape(nchunks * chunk, -1)[:Xpad]
 
-        return jax.vmap(one_window)(nwp_cube, idx_p)
+        return jax.vmap(one_window)(jnp.arange(B, dtype=jnp.int32), idx_p)
 
     return compute
 

@@ -95,7 +95,8 @@ def test_device_sampled_train_step(rng):
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65).astype(np.float32)),
         forecast_h=jnp.asarray([24.0, 48.0]),
-        nwp_cube=nwp, label_cube=label,
+        # production form: 2-D window-major row tables (see CubeBatch)
+        nwp_cube=nwp.reshape(-1, 6), label_cube=label.reshape(-1, 6),
     )
     # init via an equivalent point batch
     dummy = Batch(
@@ -135,8 +136,10 @@ def test_device_sampling_eval_step(rng):
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65).astype(np.float32)),
         forecast_h=jnp.asarray([24.0, 48.0]),
-        nwp_cube=jnp.asarray(rng.randn(B, 10, 17, 5, 6).astype(np.float32) * 0.1),
-        label_cube=jnp.asarray(rng.randn(B, 37, 65, 25, 6).astype(np.float32) * 0.1),
+        nwp_cube=jnp.asarray(
+            rng.randn(B * 10 * 17 * 5, 6).astype(np.float32) * 0.1),
+        label_cube=jnp.asarray(
+            rng.randn(B * 37 * 65 * 25, 6).astype(np.float32) * 0.1),
     )
     dummy = Batch(
         field=cube.field, forecast_h=cube.forecast_h,
@@ -177,6 +180,11 @@ def test_batched_sampler_matches_vmap(rng):
         lambda n, l, k: sample_window_points(k, n, l, SCFG, COORD)
     )(nwp, label, keys)
     got_m, got_i = sample_window_points_batched(keys, nwp, label, SCFG, COORD)
+    # ...and the production 2-D row-table form must match the legacy 5-D
+    # form bitwise (same gathers, batch folded through the absolute row
+    # index -- CubeBatch / docs/PERF.md round-3 (k))
+    tab_m, tab_i = sample_window_points_batched(
+        keys, nwp.reshape(-1, 6), label.reshape(-1, 6), SCFG, COORD)
 
     for name in PointBatch._fields:
         np.testing.assert_array_equal(
@@ -185,3 +193,9 @@ def test_batched_sampler_matches_vmap(rng):
         np.testing.assert_array_equal(
             np.asarray(getattr(got_i, name)), np.asarray(getattr(ref_i, name)),
             err_msg=f"inter.{name}")
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tab_m, name)), np.asarray(getattr(ref_m, name)),
+            err_msg=f"table margin.{name}")
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tab_i, name)), np.asarray(getattr(ref_i, name)),
+            err_msg=f"table inter.{name}")

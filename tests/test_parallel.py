@@ -32,6 +32,20 @@ def _cfg(engine: str = "jvp"):
     )
 
 
+def _ds_cfg(engine: str = "jvp"):
+    """Step config whose coord_spec matches the device-sampling test cubes.
+
+    The ds samplers derive the grid geometry STATICALLY from
+    SamplerConfig + CoordSpec (cubes ship as 2-D row tables, see CubeBatch):
+    a 37x65 fine grid with a 10x17x5 coarse NWP window."""
+    import dataclasses
+
+    cfg = _cfg(engine)
+    return dataclasses.replace(
+        cfg, coord_spec=dataclasses.replace(
+            cfg.coord_spec, lon_size=65, lat_size=37))
+
+
 def test_mesh_construction():
     mesh = make_mesh(MeshConfig(data=-1, points=2))
     assert mesh.shape == {"data": 4, "points": 2}
@@ -94,7 +108,7 @@ def test_sharded_device_sampling_step(rng):
     from deepphysinet_tpu.train.train_step import create_train_state
 
     model = PhysicsNet(meta_cfg=META, net_cfg=NET)
-    cfg = _cfg()
+    cfg = _ds_cfg()
     tx = build_optimizer("Adam", lr=1e-3)
     mesh = make_mesh(MeshConfig(data=8, points=1))
     scfg = SamplerConfig(n_margin=32, n_inter=16, window_h=24)
@@ -103,8 +117,9 @@ def test_sharded_device_sampling_step(rng):
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65), jnp.float32),
         forecast_h=jnp.asarray(np.full(B, 24.0), jnp.float32),
-        nwp_cube=jnp.asarray(rng.randn(B, 10, 17, 5, 6) * 0.1, jnp.float32),
-        label_cube=jnp.asarray(rng.randn(B, 37, 65, 25, 6) * 0.1, jnp.float32),
+        # production 2-D window-major row tables (see CubeBatch)
+        nwp_cube=jnp.asarray(rng.randn(B * 10 * 17 * 5, 6) * 0.1, jnp.float32),
+        label_cube=jnp.asarray(rng.randn(B * 37 * 65 * 25, 6) * 0.1, jnp.float32),
     )
     dummy = _make_batch(np.random.RandomState(0), B=B, Nm=8, Ni=4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
@@ -234,7 +249,7 @@ def test_sharded_device_sampling_eval_matches_single(rng):
         CubeBatch, SamplerConfig, make_device_sampling_eval_step)
 
     model = PhysicsNet(meta_cfg=META, net_cfg=NET)
-    cfg = _cfg()
+    cfg = _ds_cfg()
     tx = build_optimizer("Adam", lr=1e-3)
     scfg = SamplerConfig(n_margin=32, n_inter=16, window_h=24)
 
@@ -242,8 +257,8 @@ def test_sharded_device_sampling_eval_matches_single(rng):
     cube = CubeBatch(
         field=jnp.asarray(rng.randn(B, 12, 65), jnp.float32),
         forecast_h=jnp.asarray(np.full(B, 24.0), jnp.float32),
-        nwp_cube=jnp.asarray(rng.randn(B, 10, 17, 5, 6) * 0.1, jnp.float32),
-        label_cube=jnp.asarray(rng.randn(B, 37, 65, 25, 6) * 0.1, jnp.float32),
+        nwp_cube=jnp.asarray(rng.randn(B * 10 * 17 * 5, 6) * 0.1, jnp.float32),
+        label_cube=jnp.asarray(rng.randn(B * 37 * 65 * 25, 6) * 0.1, jnp.float32),
     )
     dummy = _make_batch(np.random.RandomState(0), B=B, Nm=8, Ni=4)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
