@@ -583,7 +583,8 @@ class InterfacePhysics:
         sampler sizes + step config) drive the pool build, mirroring the
         train-loop cubes."""
         from deepphysinet_tpu.train.device_sampling import (
-            DeviceLRU, attach_pool_nwp, cube_batch_from_items)
+            DeviceLRU, attach_pool_nwp, cube_batch_from_items,
+            expected_cube_dims)
 
         if not hasattr(self, "_valid_cubes"):
             self._valid_cubes = DeviceLRU(cap)
@@ -593,7 +594,9 @@ class InterfacePhysics:
             cube = cube_batch_from_items(
                 [valid_dataset.get_cube_item(idx)],
                 pool_pad=scfg_v.n_margin if use_pool else None,
-                keep_label_cube=not use_pool)
+                keep_label_cube=not use_pool,
+                expect_dims=(expected_cube_dims(scfg_v, cfg.coord_spec)
+                             if scfg_v is not None and cfg is not None else None))
             cube = jax.tree.map(jnp.asarray, cube)
             if use_pool:
                 cube = attach_pool_nwp(cube, scfg_v, cfg.coord_spec)
@@ -682,7 +685,8 @@ class InterfacePhysics:
         from deepphysinet_tpu.parallel.sharding import (
             make_sharded_device_sampling_eval_step)
         from deepphysinet_tpu.train.device_sampling import (
-            DeviceLRU, attach_pool_nwp, cube_batch_from_items)
+            DeviceLRU, attach_pool_nwp, cube_batch_from_items,
+            expected_cube_dims)
 
         n_data = mesh.shape["data"]
         if not hasattr(self, "_valid_sharded_step"):
@@ -711,7 +715,8 @@ class InterfacePhysics:
             local = cube_batch_from_items(
                 [valid_dataset.get_cube_item(i) for i in idxs],
                 pool_pad=scfg_v.n_margin if use_pool else None,
-                keep_label_cube=not use_pool)
+                keep_label_cube=not use_pool,
+                expect_dims=expected_cube_dims(scfg_v, cfg.coord_spec))
             cube = jax.tree.map(lambda x: put_sharded(x, sharding), local)
             if use_pool:
                 cube = attach_pool_nwp(cube, scfg_v, cfg.coord_spec)
@@ -995,7 +1000,8 @@ class InterfacePhysics:
 
             def build():
                 from deepphysinet_tpu.train.device_sampling import (
-                    _pool_seed_of, attach_pool_nwp, cube_batch_host)
+                    _pool_seed_of, attach_pool_nwp, cube_batch_host,
+                    expected_cube_dims)
 
                 cube = cube_batch_host(
                     data["field_data"], data["forecast_h"],
@@ -1003,7 +1009,8 @@ class InterfacePhysics:
                     pool_pad=scfg.n_margin if use_pool else None,
                     pool_seeds=[_pool_seed_of(f) for f in data["input_file"]]
                     if use_pool else None,
-                    keep_label_cube=not use_pool)
+                    keep_label_cube=not use_pool,
+                    expect_dims=expected_cube_dims(scfg, cfg.coord_spec))
                 if data_sharding is not None:
                     from deepphysinet_tpu.parallel.mesh import put_sharded
 

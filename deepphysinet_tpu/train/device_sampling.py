@@ -149,9 +149,20 @@ def build_pool(label_cube_cl, pad: int, seed: int):
     return np.ascontiguousarray(rows), np.ascontiguousarray(idx)
 
 
+def expected_cube_dims(scfg, coord_spec):
+    """((Hl, Wl, Tl), (Hc, Wc, Tc)) the samplers will assume for this config
+    (label_grid_dims / coarse_grid_dims) -- pass as ``expect_dims`` to the
+    cube builders so a geometry mismatch fails loudly at window-assembly
+    time.  The 2-D row tables carry no grid structure, so a total-row-count
+    coincidence (e.g. a transposed lat_size/lon_size) would otherwise pass
+    the samplers' shape check and silently corrupt every sample."""
+    return (label_grid_dims(scfg, coord_spec), coarse_grid_dims(scfg, coord_spec))
+
+
 def cube_batch_host(field, forecast_h, nwp_cube_cf, label_cube_cf,
                     pool_pad: Optional[int] = None, pool_seeds=None,
-                    keep_label_cube: bool = True) -> CubeBatch:
+                    keep_label_cube: bool = True,
+                    expect_dims=None) -> CubeBatch:
     """Host numpy CubeBatch from REFERENCE channel-first cubes [B, 6, ...].
 
     The single place the channel-first -> channel-last layout decision is
@@ -170,6 +181,17 @@ def cube_batch_host(field, forecast_h, nwp_cube_cf, label_cube_cf,
     label_cl = np.ascontiguousarray(
         np.moveaxis(np.asarray(label_cube_cf, np.float32), 1, -1))
     B, C = label_cl.shape[0], label_cl.shape[-1]
+    if expect_dims is not None:
+        # (expected_cube_dims) structural guard while the grid shape is
+        # still visible -- the flattened tables can't check it themselves
+        ldims, cdims = expect_dims
+        got_l = tuple(label_cl.shape[1:4])
+        got_c = tuple(np.asarray(nwp_cube_cf).shape[2:5])
+        if got_l != tuple(ldims) or got_c != tuple(cdims):
+            raise ValueError(
+                f"window cube dims label={got_l} coarse={got_c} do not match "
+                f"the sampler geometry label={tuple(ldims)} coarse={tuple(cdims)} "
+                "derived from SamplerConfig + CoordSpec")
     pool_rows = pool_idx = None
     if pool_pad is not None:
         if pool_seeds is None:
@@ -204,7 +226,8 @@ def _pool_seed_of(key) -> int:
 
 
 def cube_batch_from_items(items, pool_pad: Optional[int] = None,
-                          keep_label_cube: bool = True) -> CubeBatch:
+                          keep_label_cube: bool = True,
+                          expect_dims=None) -> CubeBatch:
     """Host numpy CubeBatch from a list of ``get_cube_item`` dicts."""
     import numpy as np
 
@@ -217,6 +240,7 @@ def cube_batch_from_items(items, pool_pad: Optional[int] = None,
         pool_seeds=[_pool_seed_of(it.get("input_file", i))
                     for i, it in enumerate(items)],
         keep_label_cube=keep_label_cube,
+        expect_dims=expect_dims,
     )
 
 
@@ -461,8 +485,7 @@ def _decode_pool_idx(idx: jnp.ndarray, scfg: SamplerConfig, coord_spec):
     (coord_spec.lon_size x lat_size) with Tl = window_h/label_time_step + 1
     slots, as in the reference's label sampling (physics_dataset.py:334-338).
     """
-    Tl = scfg.window_h // scfg.label_time_step + 1
-    Wl = coord_spec.lon_size
+    _, Wl, Tl = label_grid_dims(scfg, coord_spec)
     slot = idx % Tl
     rest = idx // Tl
     return rest % Wl, rest // Wl, slot

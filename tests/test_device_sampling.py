@@ -164,6 +164,64 @@ def test_device_sampling_eval_step(rng):
     assert float(m3["margin_loss"]) != m1["margin_loss"]
 
 
+def test_cube_dims_guards(rng):
+    """Geometry mismatches fail loudly, not silently.
+
+    The 2-D row tables carry no grid structure, so (a) the samplers reject
+    row counts that don't match the config-derived dims, (b) legacy 5-D
+    cubes are shape-checked against those dims, and (c) the host cube
+    builder's ``expect_dims`` guard catches transposed geometry (equal
+    total row count) while the grid shape is still visible."""
+    from deepphysinet_tpu.train.device_sampling import (
+        cube_batch_host, expected_cube_dims, sample_window_points_batched)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    nwp_tab = jnp.zeros((10 * 17 * 5, 6), jnp.float32)
+    # (a) wrong row count
+    with pytest.raises(ValueError, match="row table"):
+        sample_window_points_batched(
+            keys, nwp_tab, jnp.zeros((999, 6), jnp.float32), SCFG, COORD)
+    # (b) legacy 5-D with mismatched dims
+    with pytest.raises(ValueError, match="static dims"):
+        sample_window_points_batched(
+            keys, nwp_tab, jnp.zeros((1, 65, 37, 25, 6), jnp.float32),
+            SCFG, COORD)
+    # (c) transposed lat/lon has the SAME total row count -- only the host
+    # builder's expect_dims guard can catch it
+    with pytest.raises(ValueError, match="sampler geometry"):
+        cube_batch_host(
+            np.zeros((1, 12, 65), np.float32), np.asarray([24.0], np.float32),
+            np.zeros((1, 6, 17, 10, 5), np.float32),
+            np.zeros((1, 6, 65, 37, 25), np.float32),
+            expect_dims=expected_cube_dims(SCFG, COORD))
+
+
+def test_pool_config_env_isolation(tmp_path, monkeypatch):
+    """The pool soak config must not share or poison the iid config's data
+    root through the DPN_FULLSYNTH_DATA env var (review finding): it pins
+    its own root during the base-config exec and restores the variable."""
+    import os
+
+    import deepphysinet_tpu.data.synthetic as synth
+    from deepphysinet_tpu.config import Config
+
+    # config files call ensure_synthetic_tree at exec time; the test only
+    # checks path resolution, so skip the (slow) tree generation
+    monkeypatch.setattr(synth, "ensure_synthetic_tree",
+                        lambda *a, **k: None)
+    monkeypatch.setenv("DPN_FULLSYNTH_DATA", str(tmp_path / "iid_root"))
+    monkeypatch.setenv("DPN_FULLSYNTH_POOL_DATA", str(tmp_path / "pool_root"))
+    import os.path as osp
+
+    cfg_file = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                        "configs", "synthetic_fullscale_pool_cfg.py")
+    c = Config.fromfile(cfg_file).config
+    assert c["train_cfg"]["tpu"]["ds_sampler"] == "pool"
+    assert str(tmp_path / "pool_root") in c["train_cfg"]["train_data"]["input_path"]
+    # the override did not leak back into the process env
+    assert os.environ["DPN_FULLSYNTH_DATA"] == str(tmp_path / "iid_root")
+
+
 def test_batched_sampler_matches_vmap(rng):
     """sample_window_points_batched (flat-index gathers, no vmap -- the 3.6x
     TPU fix, docs/PERF.md round-3 (i)) must reproduce
