@@ -135,14 +135,23 @@ def evaluate_rmse_fullgrid(
     cfg,  # StepConfig
     dataset,
     max_windows: Optional[int] = None,
+    per_lead: bool = False,
 ) -> Dict[str, float]:
     """Exhaustive per-variable RMSE: the full label grid at every labeled hour.
 
     Per window: one encode, then a lax.scan over the window's labeled hours
     decoding all label_lat_size x label_lon_size points and accumulating
-    squared error / bias in physical units ON DEVICE -- a single [2, 6]
-    fetch per window.  This is the BASELINE.json accuracy-parity sweep
-    (reference test_cfg, configs/DeepPhysiNet_NCEP_cfg.py:169-199).
+    squared error / bias in physical units ON DEVICE -- a single
+    [n_hours, 2, 6] fetch per window.  This is the BASELINE.json
+    accuracy-parity sweep (reference test_cfg,
+    configs/DeepPhysiNet_NCEP_cfg.py:169-199).
+
+    ``per_lead=True`` additionally reports RMSE per ABSOLUTE forecast lead
+    hour (window base forecast_h + in-window hour) as ``rmse_{var}_f{lead:03d}``
+    keys -- the standard skill-vs-lead verification curve, and the eval-side
+    counterpart of the reference's per-lead ``training_f%03d/`` TensorBoard
+    tags (interface_physics.py:303-310).  Leads shared by several windows
+    aggregate across them.
     """
     H, W = dataset.label_lat_size, dataset.label_lon_size
     xs, ys = np.meshgrid(np.arange(W), np.arange(H))
@@ -190,17 +199,19 @@ def evaluate_rmse_fullgrid(
             pred = inverse_norm_stack(out, cfg.obs_specs, with_clip=True)
             labp = inverse_norm_stack(lab, cfg.obs_specs, with_clip=True)
             d = (pred - labp).astype(jnp.float32)
-            sq, bs = carry
-            return (sq + jnp.sum(d * d, axis=0), bs + jnp.sum(d, axis=0)), None
+            # per-hour sums as scan outputs: totals reduce on the host, and
+            # per_lead mode gets its skill-vs-lead curve from the same fetch
+            return carry, jnp.stack([jnp.sum(d * d, axis=0), jnp.sum(d, axis=0)])
 
         t_hours = jnp.arange(n_hours, dtype=jnp.float32) * lts
-        (sq, bs), _ = jax.lax.scan(
-            body, (jnp.zeros(6), jnp.zeros(6)), (t_hours, labels_all))
-        return jnp.stack([sq, bs])
+        _, hourly = jax.lax.scan(body, 0, (t_hours, labels_all))
+        return hourly  # [n_hours, 2, 6]
 
     sq_sum = np.zeros(6, np.float64)
     bias_sum = np.zeros(6, np.float64)
     count = 0
+    lead_sq: Dict[int, np.ndarray] = {}  # abs lead hour -> [6] sq-error sum
+    lead_n: Dict[int, int] = {}
     n_windows = len(dataset) if max_windows is None else min(max_windows, len(dataset))
     for w in range(n_windows):
         input_file = dataset.input_files[w]
@@ -215,18 +226,27 @@ def evaluate_rmse_fullgrid(
         labels_all = np.moveaxis(label_cube.reshape(6, H * W, -1), (0, 2), (2, 0))
         cube6 = dataset._nwp_cube(input_file)  # [6, Hc, Wc, T]: ONE small
         # host->device transfer per window; interpolation happens in the jit
-        sums = np.asarray(jax.device_get(run_window(
+        hourly = np.asarray(jax.device_get(run_window(
             params, field, fh_norm,
             jnp.asarray(cube6, jnp.float32),
             jnp.asarray(labels_all, jnp.float32))), np.float64)  # one fetch
-        sq_sum += sums[0]
-        bias_sum += sums[1]
+        sq_sum += hourly[:, 0].sum(axis=0)
+        bias_sum += hourly[:, 1].sum(axis=0)
         count += H * W * n_hours
+        if per_lead:
+            for i in range(n_hours):
+                lead = int(round(forecast_h)) + i * lts
+                lead_sq[lead] = lead_sq.get(lead, 0.0) + hourly[i, 0]
+                lead_n[lead] = lead_n.get(lead, 0) + H * W
 
     rmse = np.sqrt(sq_sum / max(count, 1))
     bias = bias_sum / max(count, 1)
     out = {f"rmse_{k}": float(rmse[i]) for i, k in enumerate(VAR_NAMES)}
     out.update({f"bias_{k}": float(bias[i]) for i, k in enumerate(VAR_NAMES)})
+    for lead in sorted(lead_sq):
+        r = np.sqrt(lead_sq[lead] / lead_n[lead])
+        out.update({f"rmse_{k}_f{lead:03d}": float(r[i])
+                    for i, k in enumerate(VAR_NAMES)})
     out["n_points"] = float(count)
     out["n_windows"] = float(n_windows)
     out["full_grid"] = 1.0

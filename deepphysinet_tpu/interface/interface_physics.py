@@ -140,6 +140,13 @@ class InterfacePhysics:
         # round-3 (i)/(j)).
         self.ds_sampler = str(tpu_cfg.get("ds_sampler", "iid"))
         self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
+        # Persistent XLA compilation cache: resumes (preemption restarts,
+        # repeated eval CLIs) deserialize the ~20-40 s step executables
+        # instead of recompiling them (utils/compile_cache.py).
+        if tpu_cfg.get("compilation_cache_dir"):
+            from deepphysinet_tpu.utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(tpu_cfg["compilation_cache_dir"])
         # Engine default (docs/PERF.md, reference geometry): 'kernel' (fused
         # Pallas forward+backward, 4.9 ms/step, soak-convergence validated)
         # on TPU; 'jvp' (analytic-tangent collapsed-algebra XLA path,

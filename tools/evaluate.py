@@ -32,6 +32,10 @@ def main():
     parser.add_argument("--full_grid", action="store_true",
                         help="exhaustive sweep: every labeled grid point at "
                              "every labeled hour (headline RMSE mode)")
+    parser.add_argument("--per_lead", action="store_true",
+                        help="with --full_grid: also report RMSE per absolute "
+                             "forecast lead hour (rmse_<var>_f<lead> keys -- "
+                             "the skill-vs-lead verification curve)")
     parser.add_argument("--residuals", action="store_true",
                         help="physics-consistency mode: per-equation PDE "
                              "residual MSEs over the full label grid instead "
@@ -103,7 +107,7 @@ def main():
     elif args.full_grid:
         metrics = evaluate_rmse_fullgrid(
             interface.physics_net, params, step_cfg, dataset,
-            max_windows=args.max_windows,
+            max_windows=args.max_windows, per_lead=args.per_lead,
         )
     else:
         metrics = evaluate_rmse(
