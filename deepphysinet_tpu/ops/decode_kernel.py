@@ -1390,3 +1390,462 @@ def _fused_trainable_bwd(block_n, compute_dtype, res, g):
 
 
 fused_decode_jvp_trainable.defvjp(_fused_trainable_fwd, _fused_trainable_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v6 -- trig-only inputs: the PE derivative folded into the weight prep
+# ---------------------------------------------------------------------------
+#
+# The SineCos PE derivative is a signed, scaled permutation of the PE itself:
+# d/dc [sin(f c), cos(f c)] = f * [cos(f c), -sin(f c)].  v4 materializes that
+# permutation as a separate dpe array in XLA (stack + moveaxis + scale over
+# [3, N, 2F] -- several full HBM passes on the eval critical path, overlapped
+# only by the 0.37 ms encode).  v6 folds the swap/sign/frequency/scale into
+# the per-window WEIGHT prep instead (amortized over every point):
+#
+#   z_v      = sum_k trig_k @ w1g[v, k] + b1          (primal layer 1)
+#   dz_v/dc_k =        trig_k @ w1t[v, k]             (tangent layer 1)
+#
+# where trig_k = [sin(fb c_k) | cos(fb c_k)] ([N, 2F], fn-grouped, the
+# channel_major_perm row order) serves BOTH matmuls, and
+#
+#   w1t[v, k, f]     = -fb[f] * scale_k * w1g[v, k, F+f]   (sin rows)
+#   w1t[v, k, F+f]   =  fb[f] * scale_k * w1g[v, k, f]     (cos rows)
+#
+# is a roll+scale of the channel-major primal weights, built once per window.
+# The XLA point prep shrinks to sin/cos on [3, N, F] plus one concat (no
+# interleave, no transpose, no derivative arrays), and the kernel's
+# point-stream input traffic halves (trig replaces pe AND dpe).  Identical
+# math to v4; bf16 rounding differs only by where the fb*scale product is
+# applied.  Reference semantics unchanged (interface_physics.py:285-299).
+
+
+def coord_scales(coord_spec) -> jnp.ndarray:
+    """d(normalized coord)/d(physical coord) for (x, y, t) -- [3] f32."""
+    return jnp.array(
+        [1.0 / (coord_spec.dx * (coord_spec.lon_size - 1)),
+         1.0 / (coord_spec.dy * (coord_spec.lat_size - 1)),
+         1.0 / coord_spec.pred_t_span], jnp.float32)
+
+
+def trig3_inputs(coords: jnp.ndarray, coord_spec) -> jnp.ndarray:
+    """SineCos trig blocks per coordinate: [3, N, 2F], fn-grouped.
+
+    trig[k] = [sin(fb * cn_k) | cos(fb * cn_k)] where cn is the normalized
+    coordinate.  This is the ONLY per-point prep the v6 kernel needs.
+    """
+    scales = coord_scales(coord_spec)
+    fb = jnp.asarray(coord_spec.freq_bands(), jnp.float32)  # [F]
+    cn = coords.astype(jnp.float32) * scales  # [N, 3]
+    xf = cn.T[:, :, None] * fb  # [3, N, F]
+    return jnp.concatenate([jnp.sin(xf), jnp.cos(xf)], axis=-1)  # [3, N, 2F]
+
+
+class FusedDecodeWeightsV6(NamedTuple):
+    """v4's collapsed weights with layer 1 re-expressed over trig inputs."""
+
+    w1g: jnp.ndarray  # [6, 3, 2F, hid] channel-major primal layer-1 rows
+    w1t: jnp.ndarray  # [6, 3, 2F, hid] tangent rows (swap/sign/fb/scale folded)
+    b1: jnp.ndarray  # [6, hid]
+    w2f1: jnp.ndarray  # [6, hid, hid]
+    wdf1: jnp.ndarray  # [6, in_ch, hid]
+    rbias: jnp.ndarray  # [6, hid]
+    fw2: jnp.ndarray  # [6, hid]
+    w2wo: jnp.ndarray  # [6, hid]
+    wdwo: jnp.ndarray  # [6, in_ch]
+    obias: jnp.ndarray  # [6]
+
+
+def fuse_v6_from_v4(fw: FusedDecodeWeights, coord_spec) -> FusedDecodeWeightsV6:
+    """Per-window re-expression of the v4 fused weights over trig inputs."""
+    n_vars, in_ch, hid = fw.w1.shape
+    nf = in_ch // 6
+    perm = channel_major_perm(in_ch, 3)
+    w1g = fw.w1[:, perm, :].reshape(n_vars, 3, 2 * nf, hid)
+    fb = jnp.asarray(coord_spec.freq_bands(), jnp.float32)  # [F]
+    coef = (coord_scales(coord_spec)[:, None] * fb)[None, :, :, None]  # [1,3,F,1]
+    w1t = jnp.concatenate(
+        [-coef * w1g[:, :, nf:], coef * w1g[:, :, :nf]], axis=2)
+    return FusedDecodeWeightsV6(
+        w1g=w1g, w1t=w1t, b1=fw.b1, w2f1=fw.w2f1, wdf1=fw.wdf1,
+        rbias=fw.rbias, fw2=fw.fw2, w2wo=fw.w2wo, wdwo=fw.wdwo, obias=fw.obias)
+
+
+def fuse_decode_weights_v6(w: DecodeWeights, coord_spec) -> FusedDecodeWeightsV6:
+    """Per-window f32 weight fusion for the trig-input collapsed decode."""
+    return fuse_v6_from_v4(fuse_decode_weights(w), coord_spec)
+
+
+def _v6_var_column(
+    T, CD, ref_col,
+    w1g_ref, w1t_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    *, v: int, block_n: int, cdt,
+):
+    """One variable's primal + 3 tangents from trig blocks (v6 layer 1)."""
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    z = (dot(T[0], w1g_ref[v, 0]) + dot(T[1], w1g_ref[v, 1])
+         + dot(T[2], w1g_ref[v, 2]) + b1_ref[v][None, :])
+    mask = z > 0
+    p = jnp.maximum(z, 0.0)
+    t16 = jnp.concatenate(
+        [jnp.where(mask, dot(T[k], w1t_ref[v, k]), 0.0).astype(cdt)
+         for k in range(3)], axis=0)  # [3Nb, hid]
+
+    return _v4_epilogue(
+        p, t16, CD, ref_col,
+        w2f1_ref[v], wdf1_ref[v], rbias_ref[v], fw2_ref[v], w2wo_ref[v],
+        wdwo_ref[v], obias_ref[v], block_n=block_n, cdt=cdt,
+    )
+
+
+def _decode_kernel_v6(
+    trig_ref, cdpe_ref, ref_ref,
+    w1g_ref, w1t_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, cdt,
+):
+    """v6: collapsed algebra, primal AND tangents fed by the trig blocks."""
+    T = trig_ref[...]  # [3, Nb, 2F] cdt
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+
+    primal_cols, tang_cols = [], []
+    for v in range(n_vars):
+        o, to3 = _v6_var_column(
+            T, CD, ref_ref[:, v],
+            w1g_ref, w1t_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+            fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+            v=v, block_n=block_n, cdt=cdt,
+        )
+        primal_cols.append(o[:, None])
+        tang_cols.append(to3[:, :, None])
+
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1).astype(primal_ref.dtype)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1).astype(tang_ref.dtype)
+
+
+def fused_decode_jvp_v6(
+    fw: FusedDecodeWeightsV6,
+    trig: jnp.ndarray,  # [3, N, 2F] f32
+    cd_pe: jnp.ndarray,  # [N, in_ch] f32
+    ref: jnp.ndarray,  # [N, 6] normalized conditioning values (residual head)
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primal [N, 6] + tangents [3, N, 6] via the trig-input v6 kernel."""
+    _, n, two_f = trig.shape
+    in_ch = cd_pe.shape[-1]
+    n_vars = fw.w1g.shape[0]
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        trig = jnp.pad(trig, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        ref = jnp.pad(ref, ((0, pad), (0, 0)))
+    n_pad = trig.shape[1]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1g.astype(cd), fw.w1t.astype(cd), fw.b1.astype(f32),
+          fw.w2f1.astype(cd), fw.wdf1.astype(cd), fw.rbias.astype(f32),
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32),
+          fw.obias.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(_decode_kernel_v6, block_n=block_n,
+                               n_vars=n_vars, cdt=cd)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        **extra,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_vars), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad, n_vars), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((3, block_n, two_f), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(trig.astype(cd), cd_pe.astype(cd), ref.astype(jnp.float32), *wt)
+    return primal[:n], tang[:, :n]
+
+
+def decode_jvp_xla_v6(
+    fw: FusedDecodeWeightsV6,
+    trig: jnp.ndarray,  # [3, N, 2F]
+    cd_pe: jnp.ndarray,
+    ref: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA twin of the v6 kernel: identical collapsed math, plain jnp.
+
+    Fully differentiable -- the CPU fallback and the gradient-reference for
+    the fused backward kernel's tests.
+    """
+    cdt = compute_dtype
+    f32 = jnp.float32
+    n_vars = fw.w1g.shape[0]
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    T = trig
+    primal_cols, tang_cols = [], []
+    for v in range(n_vars):
+        z = (dot(T[0], fw.w1g[v, 0]) + dot(T[1], fw.w1g[v, 1])
+             + dot(T[2], fw.w1g[v, 2]) + fw.b1[v][None, :])
+        mask = z > 0
+        p = jnp.maximum(z, 0.0)
+        tz = jnp.stack([dot(T[k], fw.w1t[v, k]) for k in range(3)], 0)  # [3,N,hid]
+        t = jnp.where(mask[None], tz, 0.0)
+
+        rp = dot(p, fw.w2f1[v]) + dot(cd_pe, fw.wdf1[v]) + fw.rbias[v][None, :]
+        maskr = rp > 0
+        pr = jnp.maximum(rp, 0.0)
+        rt = jnp.where(maskr[None], jnp.stack(
+            [dot(t[k], fw.w2f1[v]) for k in range(3)], 0), 0.0)
+
+        fw2 = fw.fw2[v][None, :].astype(f32)
+        w2wo = fw.w2wo[v][None, :].astype(f32)
+        o = (jnp.sum(pr * fw2, axis=-1)
+             + 2.0 * (jnp.sum(p * w2wo, axis=-1)
+                      + jnp.sum(cd_pe.astype(f32) * fw.wdwo[v][None, :].astype(f32),
+                                axis=-1))
+             + fw.obias[v] + ref[:, v])
+        to = (jnp.sum(rt * fw2[None], axis=-1)
+              + 2.0 * jnp.sum(t * w2wo[None], axis=-1))  # [3, N]
+        primal_cols.append(o[:, None])
+        tang_cols.append(to[:, :, None])
+    return jnp.concatenate(primal_cols, -1), jnp.concatenate(tang_cols, -1)
+
+
+def _decode_bwd_kernel_v6(
+    trig_ref, cdpe_ref, go_ref, gto_ref,
+    w1g_ref, w1t_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref,
+    gw1g_ref, gw1t_ref, gb1_ref, gw2f1_ref, gwdf1_ref, grbias_ref,
+    gfw2_ref, gw2wo_ref, gwdwo_ref,
+    *, block_n: int, n_vars: int, cdt,
+):
+    """Backward of the v6 decode wrt the fused weights (recompute-in-VMEM).
+
+    Mirror of _decode_bwd_kernel_v4 with the trig blocks feeding both the
+    primal (w1g) and tangent (w1t) layer-1 cotangents:
+    g_w1g[v, k] = trig_k^T g_z, g_w1t[v, k] = trig_k^T g_tz_k.
+    """
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    T = trig_ref[...]  # [3, Nb, 2F] cdt
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (gw1g_ref, gw1t_ref, gb1_ref, gw2f1_ref, gwdf1_ref,
+                    grbias_ref, gfw2_ref, gw2wo_ref, gwdwo_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def dot_t(a, b):  # a^T @ b, contracting the row (point) axis
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def dot_wt(g, w):  # g @ w^T
+        return jax.lax.dot_general(
+            g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    for v in range(n_vars):
+        # ---- recompute the forward chain ----
+        z = (dot(T[0], w1g_ref[v, 0]) + dot(T[1], w1g_ref[v, 1])
+             + dot(T[2], w1g_ref[v, 2]) + b1_ref[v][None, :])
+        mask = z > 0
+        p = jnp.maximum(z, 0.0)
+        mask3 = jnp.concatenate([mask, mask, mask], axis=0)
+        tz = jnp.concatenate(
+            [dot(T[k], w1t_ref[v, k]) for k in range(3)], axis=0)
+        t = jnp.where(mask3, tz, 0.0)  # [3Nb, hid]
+        W = w2f1_ref[v]
+        rp = dot(p, W) + dot(CD, wdf1_ref[v]) + rbias_ref[v][None, :]
+        maskr = rp > 0
+        pr = jnp.maximum(rp, 0.0)
+        maskr3 = jnp.concatenate([maskr, maskr, maskr], axis=0)
+        tr = jnp.where(maskr3, dot(t, W), 0.0)
+
+        # ---- backward ----
+        go = go_ref[:, v : v + 1]  # [Nb, 1] f32
+        gto = gto_ref[..., v].reshape(3 * block_n, 1)  # [3Nb, 1]
+        a_v = fw2_ref[v][None, :]  # [1, hid]
+        b_v = w2wo_ref[v][None, :]
+
+        g_rp = jnp.where(maskr, go * a_v, 0.0)  # [Nb, hid]
+        g_rt = jnp.where(maskr3, gto * a_v, 0.0)  # [3Nb, hid]
+
+        gfw2_ref[v] += jnp.sum(pr * go, axis=0) + jnp.sum(tr * gto, axis=0)
+        gw2wo_ref[v] += 2.0 * (jnp.sum(p * go, axis=0) + jnp.sum(t * gto, axis=0))
+        gwdwo_ref[v] += 2.0 * jnp.sum(CD.astype(f32) * go, axis=0)
+        # g_obias = sum(go): scalar per variable, computed by the caller
+        grbias_ref[v] += jnp.sum(g_rp, axis=0)
+
+        gw2f1_ref[v] += dot_t(p, g_rp) + dot_t(t, g_rt)
+        gwdf1_ref[v] += dot_t(CD, g_rp)
+
+        g_p = dot_wt(g_rp, W) + 2.0 * (go * b_v)
+        g_t = dot_wt(g_rt, W) + 2.0 * (gto * b_v)
+        g_z = jnp.where(mask, g_p, 0.0)
+        g_tz = jnp.where(mask3, g_t, 0.0)
+
+        for k in range(3):
+            gw1g_ref[v, k] += dot_t(T[k].astype(f32), g_z)
+            gw1t_ref[v, k] += dot_t(
+                T[k].astype(f32), g_tz[k * block_n : (k + 1) * block_n])
+        gb1_ref[v] += jnp.sum(g_z, axis=0)
+
+
+def decode_bwd_kernel_v6(
+    fw: FusedDecodeWeightsV6,
+    trig: jnp.ndarray,  # [3, N, 2F]
+    cd_pe: jnp.ndarray,
+    g_primal: jnp.ndarray,  # [N, 6] f32
+    g_tang: jnp.ndarray,  # [3, N, 6] f32
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
+) -> FusedDecodeWeightsV6:
+    """Weight cotangents of fused_decode_jvp_v6 (obias slot carries g_obias)."""
+    _, n, two_f = trig.shape
+    in_ch = cd_pe.shape[-1]
+    n_vars, _, _, hid = fw.w1g.shape
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        trig = jnp.pad(trig, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        # zero cotangents on padded points -> no gradient contribution
+        g_primal = jnp.pad(g_primal, ((0, pad), (0, 0)))
+        g_tang = jnp.pad(g_tang, ((0, 0), (0, pad), (0, 0)))
+    n_pad = trig.shape[1]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1g.astype(cd), fw.w1t.astype(cd), fw.b1.astype(f32),
+          fw.w2f1.astype(cd), fw.wdf1.astype(cd), fw.rbias.astype(f32),
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    acc = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=mem)
+    kernel = functools.partial(_decode_bwd_kernel_v6, block_n=block_n,
+                               n_vars=n_vars, cdt=cd)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars, 3, two_f, hid), f32),  # g_w1g
+            jax.ShapeDtypeStruct((n_vars, 3, two_f, hid), f32),  # g_w1t
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_b1
+            jax.ShapeDtypeStruct((n_vars, hid, hid), f32),  # g_w2f1
+            jax.ShapeDtypeStruct((n_vars, in_ch, hid), f32),  # g_wdf1
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_rbias
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_fw2
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_w2wo
+            jax.ShapeDtypeStruct((n_vars, in_ch), f32),  # g_wdwo
+        ),
+        in_specs=[
+            pl.BlockSpec((3, block_n, two_f), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, n_vars), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, n_vars), lambda i: (0, i, 0), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            acc(n_vars, 3, two_f, hid), acc(n_vars, 3, two_f, hid),
+            acc(n_vars, hid), acc(n_vars, hid, hid), acc(n_vars, in_ch, hid),
+            acc(n_vars, hid), acc(n_vars, hid), acc(n_vars, hid),
+            acc(n_vars, in_ch),
+        ),
+        interpret=interpret,
+        **extra,
+    )(trig.astype(cd), cd_pe.astype(cd),
+      g_primal.astype(f32), g_tang.astype(f32), *wt)
+    return FusedDecodeWeightsV6(
+        w1g=outs[0], w1t=outs[1], b1=outs[2], w2f1=outs[3], wdf1=outs[4],
+        rbias=outs[5], fw2=outs[6], w2wo=outs[7], wdwo=outs[8],
+        obias=jnp.sum(g_primal[:n], axis=0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_decode_jvp_v6_kbwd(fw, trig, cd_pe, ref,
+                             block_n=256, compute_dtype=jnp.bfloat16,
+                             interpret=False):
+    """v6 decode with Pallas kernels on BOTH passes (training hot path).
+
+    Same gradient contract as fused_decode_jvp_v4_kbwd: exact cotangents for
+    the fused weights and ``ref`` (identity head), **zeros for trig/cd_pe**
+    (data inputs in the training engine).
+    """
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
+        return fused_decode_jvp_v6(fw, trig, cd_pe, ref,
+                                   block_n=block_n, compute_dtype=compute_dtype,
+                                   interpret=interpret)
+    return decode_jvp_xla_v6(fw, trig, cd_pe, ref, compute_dtype)
+
+
+def _fused_v6_kbwd_fwd(fw, trig, cd_pe, ref, block_n, compute_dtype, interpret):
+    out = fused_decode_jvp_v6_kbwd(fw, trig, cd_pe, ref, block_n,
+                                   compute_dtype, interpret)
+    return out, (fw, trig, cd_pe)
+
+
+def _fused_v6_kbwd_bwd(block_n, compute_dtype, interpret, res, g):
+    fw, trig, cd_pe = res
+    g_primal, g_tang = g
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
+        gfw = decode_bwd_kernel_v6(fw, trig, cd_pe, g_primal, g_tang,
+                                   block_n=block_n, compute_dtype=compute_dtype,
+                                   interpret=interpret)
+    else:
+        # CPU fallback: the twin's VJP, projected onto the weight cotangents
+        zeros_ref = jnp.zeros_like(g_primal)
+        _, vjp = jax.vjp(
+            lambda w: decode_jvp_xla_v6(w, trig, cd_pe, zeros_ref,
+                                        compute_dtype), fw)
+        (gfw,) = vjp((g_primal, g_tang))
+    g_ref = g_primal  # o = ... + ref (identity head)
+    return (gfw, jnp.zeros_like(trig), jnp.zeros_like(cd_pe), g_ref)
+
+
+fused_decode_jvp_v6_kbwd.defvjp(_fused_v6_kbwd_fwd, _fused_v6_kbwd_bwd)

@@ -184,9 +184,34 @@ def fused_kernel_fields(
     ``version=2`` keeps the round-1 kernel.
     """
     from deepphysinet_tpu.ops.decode_kernel import (
-        extract_decode_weights, fuse_decode_weights, fused_decode_jvp,
-        fused_decode_jvp_trainable, fused_decode_jvp_v4,
-        fused_decode_jvp_v4_kbwd, fused_decode_jvp_v4pe)
+        extract_decode_weights, fuse_decode_weights, fuse_v6_from_v4,
+        fused_decode_jvp, fused_decode_jvp_trainable, fused_decode_jvp_v4,
+        fused_decode_jvp_v4_kbwd, fused_decode_jvp_v4pe,
+        fused_decode_jvp_v6, fused_decode_jvp_v6_kbwd, trig3_inputs)
+
+    if version == 6:
+        # v6: the PE derivative is folded into the per-window weight prep
+        # (fuse_v6_from_v4), so the only per-point prep is the trig blocks --
+        # no dpe array, half the point-stream input traffic (docs/PERF.md
+        # round 3 (l)).  Same math as v4.
+        from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+        weights = extract_decode_weights(model, params, tokens, fore_h)
+        trig = trig3_inputs(coords, coord_spec)
+        in_ch = model.net_cfg["in_channels"]
+        cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)
+        cd_pe = sinecos_pe(coord_data, cd_freqs, include_input=False)
+        coord_data = jax.lax.stop_gradient(coord_data)
+        fw6 = fuse_v6_from_v4(fuse_decode_weights(weights), coord_spec)
+        if trainable:
+            primal, tang = fused_decode_jvp_v6_kbwd(
+                fw6, trig, cd_pe, coord_data, 256, model.compute_dtype,
+                interpret)
+        else:
+            primal, tang = fused_decode_jvp_v6(
+                fw6, trig, cd_pe, coord_data, interpret=interpret,
+                compute_dtype=model.compute_dtype)
+        return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
     if in_kernel_pe and version == 4 and not trainable:
         # v4pe: raw coordinates in, PE on the VPU inside the kernel -- no XLA
@@ -235,6 +260,7 @@ def jvp_fields(
     coord_spec,
     obs_specs,
     with_clip: bool = True,
+    version: int = 4,
 ) -> Tuple[jnp.ndarray, FieldDerivatives]:
     """Pure-XLA analytic-tangent fields via the collapsed v4 algebra.
 
@@ -244,8 +270,27 @@ def jvp_fields(
     ``pde_engine='jvp'`` training path: same forward-mode math as
     jax.linearize over the model decode, but with the analytic PE tangents
     and the f2/c collapse, so XLA sees ~2.3x fewer matmul FLOPs.
+    ``version=6`` uses the trig-input formulation (PE derivative folded into
+    the weight prep -- no dpe array; same math).
     """
-    from deepphysinet_tpu.ops.decode_kernel import decode_jvp_xla_v4, fuse_decode_weights
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_jvp_xla_v4, decode_jvp_xla_v6, fuse_decode_weights,
+        fuse_v6_from_v4, trig3_inputs)
+
+    if version == 6:
+        from deepphysinet_tpu.ops.decode_kernel import extract_decode_weights
+        from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+
+        weights = extract_decode_weights(model, params, tokens, fore_h)
+        trig = trig3_inputs(coords, coord_spec)
+        in_ch = model.net_cfg["in_channels"]
+        cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)
+        cd_pe = sinecos_pe(coord_data, cd_freqs, include_input=False)
+        coord_data = jax.lax.stop_gradient(coord_data)
+        fw6 = fuse_v6_from_v4(fuse_decode_weights(weights), coord_spec)
+        primal, tang = decode_jvp_xla_v6(fw6, trig, cd_pe, coord_data,
+                                         model.compute_dtype)
+        return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
     weights, pe, dpe, cd_pe = _kernel_inputs(
         model, params, tokens, coords, coord_data, fore_h, coord_spec)
@@ -305,6 +350,7 @@ def fused_residual_losses(
     with_clip: bool = True,
     constants: PhysicalConstants = DEFAULT_CONSTANTS,
     interpret: bool = False,
+    version: int = 4,
 ) -> Dict[str, jnp.ndarray]:
     """Forward-only residual losses via the fused Pallas path (MSE criterion).
 
@@ -319,10 +365,11 @@ def fused_residual_losses(
         return kernel_residual_losses(
             model, params, tokens, coords, coord_data, fore_h, coriolis_f,
             coord_spec, obs_specs, loss_factor, with_clip=with_clip,
-            constants=constants, interpret=interpret)
+            constants=constants, interpret=interpret, version=version)
     _, fd = fused_kernel_fields(model, params, tokens, coords, coord_data,
                                 fore_h, coord_spec, obs_specs,
-                                with_clip=with_clip, interpret=interpret)
+                                with_clip=with_clip, interpret=interpret,
+                                version=version)
     return residual_losses_from_fields(fd, coriolis_f, loss_factor, constants)
 
 

@@ -92,6 +92,11 @@ class StepConfig:
     # XLA emulation) -- lets the multi-chip dryrun and CPU tests exercise the
     # REAL kernel code path (grid, BlockSpecs, accumulation) without a TPU
     kernel_interpret: bool = False
+    # decode-kernel generation for the 'kernel' engine: 6 (default) feeds the
+    # layer-1 matmuls from trig blocks with the PE derivative folded into the
+    # per-window weight prep (no dpe array; docs/PERF.md round 3 (l));
+    # 4 keeps the explicit pe/dpe prep.  Identical math either way.
+    kernel_version: int = 4
 
     def factors(self) -> Dict[str, float]:
         return dict(self.loss_factor)
@@ -143,7 +148,7 @@ def _window_losses(
             return fused_kernel_fields(
                 model, params, tokens, coords, pts.nwp, fore_h,
                 cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
-                interpret=cfg.kernel_interpret,
+                interpret=cfg.kernel_interpret, version=cfg.kernel_version,
             )
         return jvp_fields(model, params, tokens, coords, pts.nwp, fore_h,
                           cfg.coord_spec, cfg.obs_specs, with_clip=True)
