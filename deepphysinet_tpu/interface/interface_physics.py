@@ -139,6 +139,7 @@ class InterfacePhysics:
         # and the ~1 ms/step gather-latency floor disappears (docs/PERF.md
         # round-3 (i)/(j)).
         self.ds_sampler = str(tpu_cfg.get("ds_sampler", "iid"))
+        self.kernel_version = int(tpu_cfg.get("kernel_version", 4))
         self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
         # Persistent XLA compilation cache: resumes (preemption restarts,
         # repeated eval CLIs) deserialize the ~20-40 s step executables
@@ -227,6 +228,7 @@ class InterfacePhysics:
             pde_loss=losses["pde_loss"]["name"],
             pde_start_step=self.pde_start_step,
             pde_engine=self.pde_engine,
+            kernel_version=self.kernel_version,
         )
 
     @staticmethod

@@ -92,10 +92,11 @@ class StepConfig:
     # XLA emulation) -- lets the multi-chip dryrun and CPU tests exercise the
     # REAL kernel code path (grid, BlockSpecs, accumulation) without a TPU
     kernel_interpret: bool = False
-    # decode-kernel generation for the 'kernel' engine: 6 (default) feeds the
-    # layer-1 matmuls from trig blocks with the PE derivative folded into the
-    # per-window weight prep (no dpe array; docs/PERF.md round 3 (l));
-    # 4 keeps the explicit pe/dpe prep.  Identical math either way.
+    # decode-kernel generation for the 'kernel'/'jvp' engines: 4 (default)
+    # keeps the explicit pe/dpe prep; 6 feeds the layer-1 matmuls from trig
+    # blocks with the PE derivative folded into the per-window weight prep
+    # (no dpe array; docs/PERF.md round 3 (l)).  Identical math either way;
+    # set via train_cfg.tpu.kernel_version.
     kernel_version: int = 4
 
     def factors(self) -> Dict[str, float]:
@@ -151,7 +152,8 @@ def _window_losses(
                 interpret=cfg.kernel_interpret, version=cfg.kernel_version,
             )
         return jvp_fields(model, params, tokens, coords, pts.nwp, fore_h,
-                          cfg.coord_spec, cfg.obs_specs, with_clip=True)
+                          cfg.coord_spec, cfg.obs_specs, with_clip=True,
+                          version=cfg.kernel_version)
 
     if with_pde and cfg.pde_engine == "linearize":
         # --- shared margin evaluation: data loss + PDE in one linearize ---

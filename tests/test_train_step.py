@@ -176,3 +176,22 @@ def test_forecast_h_snapping_dist_semantics(setup):
     r30 = step_raw(state.params, with_fh(30.0), False)
     r47 = step_raw(state.params, with_fh(47.0), False)
     assert float(r30["margin_loss"]) != float(r47["margin_loss"])
+
+
+def test_jvp_engine_v6_matches_v4(setup):
+    """kernel_version=6 on the 'jvp' engine reproduces v4's losses (same math)."""
+    import dataclasses
+
+    model, cfg, tx, make_state, batch = setup
+    metrics = {}
+    for version in (4, 6):
+        vcfg = dataclasses.replace(cfg, pde_engine="jvp", kernel_version=version)
+        state = make_state()
+        step = make_train_step(model, tx, vcfg)
+        state, m = step(state, batch, with_pde=True)
+        state, m = step(state, batch, with_pde=True)  # second step: grads flowed
+        metrics[version] = {k: float(v) for k, v in m.items()}
+    for k, v4 in metrics[4].items():
+        v6 = metrics[6][k]
+        assert np.isfinite(v6), k
+        assert v6 == pytest.approx(v4, rel=2e-4, abs=1e-8), k

@@ -33,6 +33,17 @@ def _require_netcdf():
 
 
 def _default_open(data_file):
+    """Classic files (magic CDF) use the stdlib-only reader when netCDF4 is
+    absent (data/netcdf_classic.py); NetCDF-4/HDF5 needs netCDF4."""
+    with open(data_file, "rb") as f:
+        magic = f.read(4)
+    if magic[:3] == b"CDF":
+        try:
+            from netCDF4 import Dataset
+            return Dataset(data_file).variables
+        except ImportError:
+            from deepphysinet_tpu.data.netcdf_classic import open_variables
+            return open_variables(data_file)
     return _require_netcdf()(data_file).variables
 
 

@@ -49,7 +49,21 @@ def extract_data(var_dict, var_name, index):
 
 
 def _default_open(data_file):
-    """path -> netCDF variables mapping (the only netCDF4-touching line)."""
+    """path -> netCDF variables mapping.
+
+    Classic-format files (magic ``CDF\\x01``/``CDF\\x02``) are parsed by the
+    built-in stdlib-only reader (data/netcdf_classic.py) so this tool runs
+    against real file bytes without netCDF4; NetCDF-4/HDF5 files still need
+    the netCDF4 package."""
+    with open(data_file, "rb") as f:
+        magic = f.read(4)
+    if magic[:3] == b"CDF":
+        try:
+            from netCDF4 import Dataset
+            return Dataset(data_file).variables
+        except ImportError:
+            from deepphysinet_tpu.data.netcdf_classic import open_variables
+            return open_variables(data_file)
     return _require_netcdf()(data_file).variables
 
 
