@@ -132,6 +132,45 @@ def make_sharded_eval_step(model, cfg: StepConfig, mesh: Mesh):
     return jax.jit(eval_step, static_argnames=("with_pde",))
 
 
+def _ds_point_slicer(mesh: Mesh, scfg):
+    """Points-axis splitter for the device-sampling loss on 2-D meshes.
+
+    Every (data, points) device replicates its data slot's cube and keys, so
+    all points shards draw the IDENTICAL global sample; the slicer then takes
+    this shard's contiguous chunk of the sampled margin/inter sets, splitting
+    the decode/PDE work n_points-ways.  Per-shard means pmean to the exact
+    global mean (equal chunk sizes), so losses/grads match the
+    single-controller step up to float reassociation.  Returns None on 1-D
+    meshes (no slicing)."""
+    import jax.numpy as jnp
+
+    from deepphysinet_tpu.train.train_step import PointBatch
+
+    n_points = int(mesh.shape.get("points", 1))
+    if n_points <= 1:
+        return None
+    for label, n in (("n_margin", scfg.n_margin), ("n_inter", scfg.n_inter)):
+        if n % n_points:
+            raise ValueError(
+                f"SamplerConfig.{label}={n} not divisible by the mesh points "
+                f"axis ({n_points}); pad the sample sizes or use points=1")
+
+    def slicer(pb: PointBatch) -> PointBatch:
+        idx = jax.lax.axis_index("points")
+        n = pb.x.shape[1]
+        k = n // n_points
+
+        def sl(a):
+            if a is None:
+                return None
+            return jax.lax.dynamic_slice_in_dim(a, idx * k, k, axis=1)
+
+        return PointBatch(x=sl(pb.x), y=sl(pb.y), t=sl(pb.t), f=sl(pb.f),
+                          nwp=sl(pb.nwp), labels=sl(pb.labels))
+
+    return slicer
+
+
 def make_sharded_device_sampling_step(model, tx, cfg: StepConfig, mesh: Mesh, scfg):
     """Mesh-sharded on-device-sampling step: one window per ``data`` slot.
 
@@ -150,7 +189,8 @@ def make_sharded_device_sampling_step(model, tx, cfg: StepConfig, mesh: Mesh, sc
     """
     from deepphysinet_tpu.train.device_sampling import CubeBatch, make_ds_loss_fn
 
-    loss_fn = make_ds_loss_fn(model, cfg, scfg)
+    loss_fn = make_ds_loss_fn(model, cfg, scfg,
+                              point_slicer=_ds_point_slicer(mesh, scfg))
     axes = tuple(mesh.axis_names)
     n_data = mesh.shape["data"]
 
@@ -193,7 +233,8 @@ def make_sharded_device_sampling_eval_step(model, cfg: StepConfig, mesh: Mesh, s
     is lockstep); only rank 0 fetches/logs."""
     from deepphysinet_tpu.train.device_sampling import CubeBatch, make_ds_loss_fn
 
-    loss_fn = make_ds_loss_fn(model, cfg, scfg)
+    loss_fn = make_ds_loss_fn(model, cfg, scfg,
+                              point_slicer=_ds_point_slicer(mesh, scfg))
     axes = tuple(mesh.axis_names)
     n_data = mesh.shape["data"]
 

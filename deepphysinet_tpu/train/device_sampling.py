@@ -626,11 +626,19 @@ def _pool_nwp_fn(scfg: SamplerConfig, coord_spec, chunk: int):
     return compute
 
 
-def make_ds_loss_fn(model, cfg: StepConfig, scfg: SamplerConfig):
+def make_ds_loss_fn(model, cfg: StepConfig, scfg: SamplerConfig,
+                    point_slicer=None):
     """``loss_fn(params, cube_batch, keys [B,...], with_pde)`` with on-device
     sampling; ``keys`` are the per-window PRNG keys (caller splits them, so
     the shard_mapped step can hand each data shard its slice of the SAME
-    global key sequence the single-controller step would draw)."""
+    global key sequence the single-controller step would draw).
+
+    ``point_slicer(point_batch) -> point_batch`` is an optional hook applied
+    to the sampled margin/inter sets before the loss: the shard_mapped step
+    on a 2-D {data, points} mesh passes a slicer that takes this points
+    shard's contiguous chunk, so the decode work splits across the points
+    axis while every shard draws the identical global sample (the cube and
+    keys are replicated along ``points``)."""
     from deepphysinet_tpu.models.physics_net import PhysicsNet
 
     pred_loss_fn = build_loss(cfg.prediction_loss, beta=cfg.prediction_beta)
@@ -652,6 +660,8 @@ def make_ds_loss_fn(model, cfg: StepConfig, scfg: SamplerConfig):
             margin, inter = sample_window_points_batched(
                 keys, batch.nwp_cube, batch.label_cube, scfg, cfg.coord_spec
             )
+        if point_slicer is not None:
+            margin, inter = point_slicer(margin), point_slicer(inter)
 
         def one_window(tokens_b, fh_b, margin_b, inter_b):
             return _window_losses(

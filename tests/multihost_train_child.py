@@ -21,7 +21,7 @@ import sys
 
 pid, port, data_root, run_root = (
     int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4])
-mode = sys.argv[5] if len(sys.argv) > 5 else "device"  # device | host
+mode = sys.argv[5] if len(sys.argv) > 5 else "device"  # device | host | pool
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["DPN_SMOKE_DATA"] = data_root
 
@@ -44,7 +44,9 @@ from deepphysinet_tpu.interface.build import builder_models
 
 cfg = Config.fromfile(os.path.join(root, "configs", "smoke_cpu_cfg.py"))["config"]
 tc = cfg["train_cfg"]
-tc["tpu"]["sample_mode"] = mode
+tc["tpu"]["sample_mode"] = "device" if mode == "pool" else mode
+if mode == "pool":
+    tc["tpu"]["ds_sampler"] = "pool"
 tc["tpu"]["mesh"] = dict(data=2, points=4)
 tc["num_epoch"] = 4
 tc["checkpoints"]["checkpoints_path"] = os.path.join(run_root, "ckpt")

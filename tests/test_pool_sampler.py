@@ -300,3 +300,71 @@ def test_sharded_pooled_step_matches_single(rng):
         losses_a.append(float(ma["total_loss"]))
         losses_b.append(float(mb["total_loss"]))
     np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5)
+
+
+def test_sharded_pooled_step_2d_mesh_matches_single(rng):
+    """{data:4, points:2} mesh: the points axis splits each window's sampled
+    set across 2 shards (parallel/sharding.py::_ds_point_slicer); losses and
+    the resulting trajectory match the single-controller pooled step."""
+    from deepphysinet_tpu.parallel.mesh import MeshConfig, make_mesh
+    from deepphysinet_tpu.parallel.sharding import (
+        make_sharded_device_sampling_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, cfg, scfg, _, _ = _train_fixtures(rng, B=2)
+    B = 4
+    rng2 = np.random.RandomState(9)
+    field = jnp.asarray(rng2.randn(B, 12, 65).astype(np.float32))
+    fh = jnp.asarray(np.full(B, 24.0), jnp.float32)
+    nwp = jnp.asarray(rng2.randn(B, 10, 17, 5, 6).astype(np.float32) * 0.1)
+    label_cf = rng2.randn(B, 6, Hl, Wl, Tl).astype(np.float32) * 0.1
+    cube = cube_batch_host(field, fh, nwp.transpose(0, 4, 1, 2, 3), label_cf,
+                           pool_pad=scfg.n_margin,
+                           pool_seeds=list(range(B)), keep_label_cube=False)
+    cube = jax.tree.map(jnp.asarray, cube)
+    cube = attach_pool_nwp(cube, scfg, COORD)
+    dummy = Batch(
+        field=cube.field, forecast_h=cube.forecast_h,
+        margin=PointBatch(
+            x=jnp.zeros((B, 8)), y=jnp.zeros((B, 8)), t=jnp.zeros((B, 8)),
+            f=jnp.zeros((B, 8, 1)), nwp=jnp.zeros((B, 8, 6)),
+            labels=jnp.zeros((B, 8, 6))),
+        inter=PointBatch(
+            x=jnp.zeros((B, 4)), y=jnp.zeros((B, 4)), t=jnp.zeros((B, 4)),
+            f=jnp.zeros((B, 4, 1)), nwp=jnp.zeros((B, 4, 6)),
+            labels=jnp.zeros((B, 4, 6))),
+    )
+    tx = build_optimizer("Adam", lr=1e-3)
+    state_a = create_train_state(model, tx, jax.random.PRNGKey(0), dummy)
+    state_b = jax.tree.map(lambda x: x.copy(), state_a)
+
+    single = make_device_sampling_train_step(model, tx, cfg, scfg)
+    mesh = make_mesh(MeshConfig(data=4, points=2))
+    sharded = make_sharded_device_sampling_step(model, tx, cfg, mesh, scfg)
+    scube = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), cube)
+
+    key = jax.random.PRNGKey(17)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        state_a, ma = single(state_a, cube, sub, True)
+        state_b, mb = sharded(state_b, scube, sub, True)
+        for k in ma:
+            np.testing.assert_allclose(
+                float(ma[k]), float(mb[k]), rtol=2e-4, atol=1e-9, err_msg=k)
+
+
+def test_2d_mesh_rejects_indivisible_point_counts(rng):
+    """n_margin/n_inter not divisible by the points axis -> explicit error."""
+    import pytest as _pytest
+
+    from deepphysinet_tpu.parallel.mesh import MeshConfig, make_mesh
+    from deepphysinet_tpu.parallel.sharding import (
+        make_sharded_device_sampling_step)
+
+    model, cfg, _, _, _ = _train_fixtures(rng, B=2)
+    scfg_bad = SamplerConfig(n_margin=63, n_inter=32, window_h=24)
+    tx = build_optimizer("Adam", lr=1e-3)
+    mesh = make_mesh(MeshConfig(data=4, points=2))
+    with _pytest.raises(ValueError, match="not divisible"):
+        make_sharded_device_sampling_step(model, tx, cfg, mesh, scfg_bad)

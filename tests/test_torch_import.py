@@ -367,3 +367,70 @@ def test_import_checkpoint_bundle(twin_and_model, tmp_path):
     variables, epoch, step = import_torch_checkpoint(path)
     assert epoch == 3 and step == 77
     assert "variable_nets" in variables["params"]
+
+
+# ---- flagship-dims round-trip (round-3 VERDICT weak #4) -------------------
+# reference configs/DeepPhysiNet_NCEP_cfg.py:16,30-31: enc_in 2405 (37x65
+# coarse grid), d_model 256, 4 layers, 159 field tokens (155 levels + 4
+# static), 128 learnable encoder tokens (the reference's Q1 quirk: meta_cfg
+# omits learnable_token_num -> TransformerNet default 128) and a 256-token
+# hypernet slice (model/variable_net.py:57-65).
+
+FLAGSHIP_META = dict(enc_in=2405, c_out=256, d_model=256, n_heads=8,
+                     e_layers=4, d_ff=256, activation="gelu",
+                     learnable_token_num=128)
+FLAGSHIP_NET = dict(in_channels=192, hidden_channels=256,
+                    learnable_token_num=256)
+
+
+def test_flagship_dims_import_matches_torch_forward(rng):
+    """A state_dict at the PUBLISHED checkpoint's exact dims imports and
+    reproduces the torch forward -- guards against shape/naming drift that
+    toy dims cannot catch (e.g. the 128-learnable/256-slice token split)."""
+    torch.manual_seed(11)
+    twin = _RefPhysicsNet(FLAGSHIP_META, FLAGSHIP_NET).eval()
+    model = PhysicsNet(meta_cfg=FLAGSHIP_META, net_cfg=FLAGSHIP_NET)
+
+    n_pts = 64
+    field = (rng.randn(1, 159, FLAGSHIP_META["enc_in"]) * 0.3).astype(np.float32)
+    pe_in = rng.randn(n_pts, FLAGSHIP_NET["in_channels"]).astype(np.float32)
+    cd = (rng.randn(n_pts, 6) * 0.2).astype(np.float32)
+    fh = 24.0 / 360.0
+
+    variables = convert_torch_state_dict(twin.state_dict())
+    fh_j = jnp.asarray([[fh]], jnp.float32)
+    tokens = model.apply(variables, jnp.asarray(field), fh_j,
+                         method=PhysicsNet.encode)
+    assert tokens.shape[1] == 128 + 159  # learnable + field tokens
+    ours = np.asarray(model.apply(
+        variables, tokens[0], jnp.asarray(pe_in), jnp.asarray(cd), fh_j[0],
+        method=PhysicsNet.decode))
+
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(field), torch.from_numpy(pe_in),
+                   torch.from_numpy(cd), torch.tensor([[fh]])).numpy()
+    # deeper matmul chain than the toy dims -> slightly wider f32 band
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-3)
+
+
+def test_flagship_dims_export_strict_load_and_roundtrip(rng):
+    """Our flagship-dims params export to a state_dict the reference-named
+    twin strict-loads, and the re-import is bit-exact."""
+    model = PhysicsNet(meta_cfg=FLAGSHIP_META, net_cfg=FLAGSHIP_NET)
+    variables = model.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, 159, FLAGSHIP_META["enc_in"]), jnp.float32),
+        jnp.zeros((2, FLAGSHIP_NET["in_channels"]), jnp.float32),
+        jnp.zeros((2, 6), jnp.float32), jnp.asarray([[0.1]], jnp.float32))
+
+    sd = export_torch_state_dict(variables)
+    twin = _RefPhysicsNet(FLAGSHIP_META, FLAGSHIP_NET)
+    twin.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                         strict=True)
+
+    back = convert_torch_state_dict(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b[path])
