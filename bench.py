@@ -169,10 +169,40 @@ def main() -> None:
         return time.monotonic() - t0
 
     # stderr context only (not the reported metric): one slope is acceptable
-    # on slow-fetch days to keep the bench inside its time budget
-    step_reps = 3 if fetch_cost < 5.0 else 1
+    # on slow-fetch days to keep the bench inside its time budget; fast days
+    # get the same median-of-5 stall-robust protocol as the headline metric
+    # (round-3 VERDICT weak #8)
+    step_reps = 5 if fetch_cost < 5.0 else 1
     step_time = median_slope(timed_run, step_reps, k1=20, k2=220)
     train_evals = (n_margin + n_inter) * B / max(step_time, 1e-9)
+
+    # ---- MFU: XLA-counted FLOPs of the pure-XLA twin (same collapsed-v4
+    # math as the Pallas path, which the counter can't see into) vs chip peak
+    mfu_note = ""
+    try:
+        from deepphysinet_tpu.physics.engine import (
+            jvp_fields, residual_losses_from_fields)
+        from deepphysinet_tpu.utils.flops import chip_peak_flops, compiled_flops
+
+        def eval_twin(params, coords, nwp, f):
+            tokens = model.apply(params, batch.field,
+                                 jnp.asarray([[24.0 / 360.0]]),
+                                 method=PhysicsNet.encode)
+            _, fd = jvp_fields(model, params, tokens[0], coords, nwp, fh_norm,
+                               step_cfg.coord_spec, step_cfg.obs_specs,
+                               with_clip=True)
+            return residual_losses_from_fields(fd, coriolis_f, factors)["total"]
+
+        peak = chip_peak_flops()
+        if peak:
+            fl = compiled_flops(eval_twin, state.params, coords, nwp_eval,
+                                coriolis_f)
+            mfu = fl / eval_time / peak
+            mfu_note = (f"; eval {fl/1e9:.1f} GFLOP -> "
+                        f"{fl/eval_time/1e12:.1f} TF/s = {mfu*100:.1f}% MFU "
+                        f"(peak {peak/1e12:.0f} TF/s)")
+    except Exception as e:  # cost analysis is best-effort context
+        mfu_note = f"; MFU unavailable ({type(e).__name__})"
 
     # (engine comparison at this geometry, docs/PERF.md: jvp 8.93 ms <
     # linearize 9.24 ms < kernel-trainable 11.2 ms; training defaults to jvp)
@@ -183,7 +213,7 @@ def main() -> None:
           f"[reps={step_reps}] "
           f"({train_evals/1e6:.2f}M pts/s incl. grad+Adam); "
           f"residual_eval={eval_time*1e3:.2f} ms [reps={eval_reps}] "
-          f"@ {n_eval} pts",
+          f"@ {n_eval} pts{mfu_note}",
           file=sys.stderr)
 
     baseline = 1.0e7  # BASELINE.json target: >=10M evals/s/chip on v5e

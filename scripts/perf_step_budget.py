@@ -69,8 +69,10 @@ def main() -> None:
         inter=pts(n_inter),
     )
     tx = build_optimizer("Adam", lr=1e-4, weight_decay=1e-4)
+    t0 = time.monotonic()
     state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
     jax.block_until_ready(state.params)
+    print(f"init: {time.monotonic()-t0:.0f}s", flush=True)
     fh_enc = jnp.asarray([[24.0 / 360.0]], jnp.float32)
     fh_norm = jnp.asarray([24.0 / 360.0], jnp.float32)
 
@@ -88,7 +90,9 @@ def main() -> None:
             _ = float(jax.tree.leaves(out)[0].ravel()[0])
             return time.monotonic() - t0
 
+        t0 = time.monotonic()
         _ = timed(1)  # compile
+        print(f"  compiled in {time.monotonic()-t0:.0f}s", flush=True)
         timed(30)     # warmup: absorb post-compile tunnel stalls
         return statistics.median((timed(k2) - timed(k1)) / (k2 - k1)
                                  for _ in range(reps))

@@ -36,6 +36,13 @@ def main():
                         help="with --full_grid: also report RMSE per absolute "
                              "forecast lead hour (rmse_<var>_f<lead> keys -- "
                              "the skill-vs-lead verification curve)")
+    parser.add_argument("--off_lattice", action="store_true",
+                        help="synthetic trees only: paired on/off-lattice "
+                             "RMSE vs the closed-form truth (0.125-deg / "
+                             ":30 offsets) -- the continuous-downscaling "
+                             "generalization check")
+    parser.add_argument("--synth_start", type=str, default="2008-01-01_00_00_00")
+    parser.add_argument("--synth_seed", type=int, default=0)
     parser.add_argument("--residuals", action="store_true",
                         help="physics-consistency mode: per-equation PDE "
                              "residual MSEs over the full label grid instead "
@@ -77,7 +84,16 @@ def main():
     window_h = dataset.input_time_step * dataset.input_time_step_nums
     step_cfg = interface._step_cfg(float(window_h * 3600), dataset.forecast_time_period)
 
-    if args.residuals:
+    if args.off_lattice:
+        from deepphysinet_tpu.eval.offlattice import evaluate_offlattice
+
+        metrics = evaluate_offlattice(
+            interface.physics_net, params, step_cfg, dataset,
+            max_windows=args.max_windows,
+            n_points=args.points_per_window,
+            synth_start=args.synth_start, synth_seed=args.synth_seed,
+        )
+    elif args.residuals:
         from deepphysinet_tpu.eval.residuals import evaluate_residuals
 
         metrics = evaluate_residuals(
