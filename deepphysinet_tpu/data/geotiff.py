@@ -789,21 +789,23 @@ def read_image(
     return out
 
 
-# ---- geographic <-> Web Mercator transforms (utils/gdal_utils.py:344-397) ----
-# Implemented in closed form (EPSG:4326 <-> EPSG:3857); no pyproj/osr needed.
+# ---- geographic <-> projected transforms (utils/gdal_utils.py:344-397) ----
+# Closed form, no pyproj/osr.  Default EPSG:3857 preserves the original
+# Web-Mercator-only signature; any CRS data/crs.py supports (4326, 3857, UTM
+# 326xx/327xx, LambertConformalConic params) can be passed explicitly.
 
 _EARTH_R = 6378137.0
 
 
-def lonlat2geo(lon, lat):
-    """(lon, lat) degrees -> Web Mercator (x, y) meters."""
-    x = np.deg2rad(np.asarray(lon, np.float64)) * _EARTH_R
-    y = np.log(np.tan(np.pi / 4 + np.deg2rad(np.asarray(lat, np.float64)) / 2)) * _EARTH_R
-    return x, y
+def lonlat2geo(lon, lat, crs=3857):
+    """(lon, lat) degrees -> projected (x, y) meters in ``crs``."""
+    from deepphysinet_tpu.data.crs import lonlat2geo as _fwd
+
+    return _fwd(lon, lat, crs)
 
 
-def geo2lonlat(x, y):
-    """Web Mercator (x, y) meters -> (lon, lat) degrees."""
-    lon = np.rad2deg(np.asarray(x, np.float64) / _EARTH_R)
-    lat = np.rad2deg(2 * np.arctan(np.exp(np.asarray(y, np.float64) / _EARTH_R)) - np.pi / 2)
-    return lon, lat
+def geo2lonlat(x, y, crs=3857):
+    """Projected (x, y) meters in ``crs`` -> (lon, lat) degrees."""
+    from deepphysinet_tpu.data.crs import geo2lonlat as _inv
+
+    return _inv(x, y, crs)

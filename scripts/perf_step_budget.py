@@ -24,6 +24,11 @@ def main() -> None:
     import jax.numpy as jnp
     import os
 
+    # persist compiles across runs: the tunnel's compile service has slow
+    # periods; a cached executable skips it entirely on re-runs
+    from deepphysinet_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(os.environ.get("DPN_XLA_CACHE", "/tmp/dpn_xla_cache"))
+
     from deepphysinet_tpu.config import Config
     from deepphysinet_tpu.models.physics_net import PhysicsNet
     from deepphysinet_tpu.ops.coords import CoordSpec
