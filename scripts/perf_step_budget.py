@@ -1,11 +1,18 @@
 """MFU-grounded time budget of the production training step (VERDICT r3 #2).
 
-Ladder of jitted programs on the real TPU, each adding one stage of the
-'kernel'-engine step at bench geometry (B=1, margin 20480 + inter 4096);
-stage times are ladder differences (median-of-5 slopes).  FLOPs come from
-XLA cost analysis of pure-XLA TWIN programs (pde_engine='jvp' math ==
-kernel math, parity-tested) because Pallas custom calls are opaque to the
-counter; the decode kernel row is cross-checked against the analytic
+Methodology (v2): per-call ladder differences are USELESS here -- a null
+jitted program measures ~1.35 ms/call through the axon tunnel (host dispatch
+floor), so every sub-1.5 ms stage is dispatch-bound and rung differences go
+negative.  Instead each stage is repeated K times INSIDE one jitted program
+via ``lax.scan`` (carry-perturbed input so iterations serialize and cannot be
+CSE'd), the program is wall-timed with the stall-robust median-of-5 slope,
+and the per-iteration device time is the slope between a K1- and K2-iteration
+build of the same program: (t_K2 - t_K1) / (K2 - K1).  Dispatch cost is paid
+once per call and cancels exactly.
+
+FLOPs come from XLA cost analysis of pure-XLA TWIN programs (pde_engine='jvp'
+math == kernel math, parity-tested) because Pallas custom calls are opaque to
+the counter; the decode row is cross-checked against the analytic
 ~4.94 MFLOP/pt formula (utils/flops.py).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site /opt/venv/bin/python scripts/perf_step_budget.py
@@ -36,8 +43,8 @@ def main() -> None:
     from deepphysinet_tpu.physics.engine import fused_kernel_fields, jvp_fields
     from deepphysinet_tpu.train.optim import build_optimizer
     from deepphysinet_tpu.train.train_step import (
-        Batch, PointBatch, StepConfig, create_train_state, make_loss_fn,
-        make_train_step)
+        Batch, PointBatch, StepConfig, apply_gradient_update, create_train_state,
+        make_loss_fn, make_train_step, make_train_step_impl)
     from deepphysinet_tpu.utils.flops import (
         chip_peak_flops, compiled_flops, decode_jvp_v4_flops_per_point)
 
@@ -86,7 +93,7 @@ def main() -> None:
     jcfg = StepConfig(coord_spec=coord_spec, obs_specs=obs_specs,
                       loss_factor=factors, pde_engine="jvp")
 
-    def median_slope(fn, args, reps=5, k1=20, k2=220):
+    def median_slope(fn, args, reps=5, k1=5, k2=45):
         def timed(k):
             t0 = time.monotonic()
             out = None
@@ -98,65 +105,131 @@ def main() -> None:
         t0 = time.monotonic()
         _ = timed(1)  # compile
         print(f"  compiled in {time.monotonic()-t0:.0f}s", flush=True)
-        timed(30)     # warmup: absorb post-compile tunnel stalls
+        timed(10)     # warmup: absorb post-compile tunnel stalls
         return statistics.median((timed(k2) - timed(k1)) / (k2 - k1)
                                  for _ in range(reps))
 
-    # ---- ladder rungs (production Pallas path) ----
-    @jax.jit
-    def r1_encode(params):
-        return model.apply(params, batch.field, fh_enc,
-                           method=PhysicsNet.encode).sum()[None]
+    # ---- stage bodies (production Pallas path), scan-K builders ----------
+    # Each body consumes the scan carry through a tiny input perturbation so
+    # the K iterations form a serial chain (no CSE, no overlap beyond what a
+    # single step's program enjoys anyway).
+    tokens0 = jax.jit(lambda p: model.apply(p, batch.field, fh_enc,
+                                            method=PhysicsNet.encode))(state.params)
 
-    @jax.jit
-    def r2_prep(params):
+    def scan_encode(k):
+        def f(params):
+            def body(c, _):
+                tok = model.apply(params, batch.field + c, fh_enc,
+                                  method=PhysicsNet.encode)
+                return (tok.mean() * 1e-20).astype(jnp.float32), ()
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
+            return c[None]
+        return f
+
+    def scan_prep(k):
         from deepphysinet_tpu.ops.decode_kernel import (
             extract_decode_weights, fuse_decode_weights)
-        tokens = model.apply(params, batch.field, fh_enc, method=PhysicsNet.encode)
-        fw = fuse_decode_weights(extract_decode_weights(
-            model, params, tokens[0], fh_norm))
-        return sum(jnp.sum(x) for x in jax.tree.leaves(fw))[None]
 
-    def _decode_both(params, engine_cfg):
-        tokens = model.apply(params, batch.field, fh_enc, method=PhysicsNet.encode)
+        def f(params, tokens):
+            def body(c, _):
+                fw = fuse_decode_weights(extract_decode_weights(
+                    model, params, tokens[0] + c, fh_norm))
+                s = sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(fw))
+                return s * 1e-20, ()
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
+            return c[None]
+        return f
+
+    def _decode_both(params, tokens_b, engine_cfg):
         out = jnp.zeros(())
         for p in (batch.margin, batch.inter):
             coords = jnp.stack([p.x[0], p.y[0], p.t[0]], -1)
             if engine_cfg.pde_engine == "kernel":
                 primal, fd = fused_kernel_fields(
-                    model, params, tokens[0], coords, p.nwp[0], fh_norm,
+                    model, params, tokens_b, coords, p.nwp[0], fh_norm,
                     coord_spec, obs_specs, with_clip=True)
             else:
                 primal, fd = jvp_fields(
-                    model, params, tokens[0], coords, p.nwp[0], fh_norm,
+                    model, params, tokens_b, coords, p.nwp[0], fh_norm,
                     coord_spec, obs_specs, with_clip=True)
-            out = out + primal.sum() + sum(jnp.sum(v) for v in
-                                           jax.tree.leaves(fd))
-        return out[None]
+            out = out + primal.sum()
+            out = out + sum(jnp.sum(v) for v in fd.fields.values())
+            out = out + sum(jnp.sum(v) for d in fd.derivs.values()
+                            for v in d.values())
+        return out
 
-    r3_decode = jax.jit(lambda params: _decode_both(params, kcfg))
+    def scan_decode(k, engine_cfg):
+        def f(params, tokens):
+            def body(c, _):
+                s = _decode_both(params, tokens[0] + c, engine_cfg)
+                return (s * 1e-20).astype(jnp.float32), ()
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
+            return c[None]
+        return f
 
     loss_k = make_loss_fn(model, kcfg)
-    r4_fwd = jax.jit(lambda params: loss_k(params, batch, True)[0][None])
+
+    def scan_loss(k):
+        def f(params):
+            def body(c, _):
+                total, _aux = loss_k(params, batch._replace(
+                    field=batch.field + c), True)
+                return (total * 1e-20).astype(jnp.float32), ()
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=k)
+            return c[None]
+        return f
 
     grad_k = jax.value_and_grad(loss_k, has_aux=True)
-    r5_grad = jax.jit(
-        lambda params: grad_k(params, batch, True)[0][0][None])
+    step_impl_k = make_train_step_impl(model, tx, kcfg)
 
+    def scan_step(k):
+        # full step body (fwd + backward + clip + adam + metrics) in-scan,
+        # carrying the train state -- the natural serial chain.  (A scan of
+        # bare value_and_grad hit a pathological >25 min compile on the
+        # tunnel; the full step body compiles fine.)
+        def f(state0):
+            def body(st, _):
+                st2, _m = step_impl_k(st, batch, True)
+                return st2, ()
+            st, _ = jax.lax.scan(body, state0, None, length=k)
+            return st
+        return f
+
+    grads0 = jax.jit(lambda p: grad_k(p, batch, True)[1])(state.params)
+    jax.block_until_ready(grads0)
+
+    def scan_adam(k):
+        def f(state0, grads):
+            def body(st, _):
+                g = jax.tree.map(
+                    lambda x: x * (1.0 + 1e-12 * st.step.astype(x.dtype)), grads)
+                st2, _m = apply_gradient_update(tx, kcfg, st, g, {})
+                return st2, ()
+            st, _ = jax.lax.scan(body, state0, None, length=k)
+            # return the FULL state: a step-only output lets XLA DCE the
+            # params/opt_state update chain out of the loop
+            return st
+        return f
+
+    # ---- time each stage via the K1/K2 in-jit repetition slope ----------
+    stages = {}
+    for name, builder, args, (K1, K2) in (
+        ("encode", scan_encode, (state.params,), (16, 128)),
+        ("prep", scan_prep, (state.params, tokens0), (16, 128)),
+        ("prep+decode", lambda k: scan_decode(k, kcfg), (state.params, tokens0), (4, 16)),
+        ("loss", scan_loss, (state.params,), (4, 16)),
+        ("step", scan_step, (state,), (4, 16)),
+        ("adam", scan_adam, (state, grads0), (8, 64)),
+    ):
+        t1 = median_slope(jax.jit(builder(K1)), args)
+        t2 = median_slope(jax.jit(builder(K2)), args)
+        stages[name] = (t2 - t1) / (K2 - K1)
+        print(f"{name}: {stages[name]*1e3:.3f} ms/iter "
+              f"(K{K1} {t1*1e3:.2f} ms, K{K2} {t2*1e3:.2f} ms)", flush=True)
+
+    # full production step (donates state -> time it via its own loop)
     step_k = make_train_step(model, tx, kcfg)
 
-    times = {}
-    for name, fn, args in (
-        ("encode", r1_encode, (state.params,)),
-        ("encode+prep", r2_prep, (state.params,)),
-        ("encode+prep+decode_fwd", r3_decode, (state.params,)),
-        ("fwd_losses", r4_fwd, (state.params,)),
-        ("fwd+bwd", r5_grad, (state.params,)),
-    ):
-        times[name] = median_slope(fn, args)
-        print(f"{name}: {times[name]*1e3:.3f} ms", flush=True)
-
-    # full step (donates state -> time it via its own loop)
     def run_step():
         nonlocal state
         state, m = step_k(state, batch, with_pde=True)
@@ -172,55 +245,57 @@ def main() -> None:
 
     timed_step(1)
     timed_step(30)
-    times["full_step"] = statistics.median(
+    full_step = statistics.median(
         (timed_step(220) - timed_step(20)) / 200 for _ in range(5))
-    print(f"full_step: {times['full_step']*1e3:.3f} ms", flush=True)
+    print(f"full_step: {full_step*1e3:.3f} ms", flush=True)
 
     # ---- FLOPs: XLA twins (pure-XLA jvp math == kernel math) ----
     loss_j = make_loss_fn(model, jcfg)
     grad_j = jax.value_and_grad(loss_j, has_aux=True)
-    step_j = jax.jit(
-        __import__("deepphysinet_tpu.train.train_step",
-                   fromlist=["make_train_step_impl"]).make_train_step_impl(
-            model, tx, jcfg),
-        static_argnames=("with_pde",))
+    step_impl_j = make_train_step_impl(model, tx, jcfg)
     flops = {
-        "encode": compiled_flops(r1_encode, state.params),
-        "encode+prep": compiled_flops(r2_prep, state.params),
-        "encode+prep+decode_fwd": compiled_flops(
-            jax.jit(lambda params: _decode_both(params, jcfg)), state.params),
-        "fwd_losses": compiled_flops(
-            jax.jit(lambda params: loss_j(params, batch, True)[0][None]),
-            state.params),
-        "fwd+bwd": compiled_flops(
-            jax.jit(lambda params: grad_j(params, batch, True)[0][0][None]),
-            state.params),
-        "full_step": compiled_flops(step_j, state, batch, with_pde=True),
+        "encode": compiled_flops(
+            lambda p: model.apply(p, batch.field, fh_enc,
+                                  method=PhysicsNet.encode).sum(), state.params),
+        "prep": compiled_flops(scan_prep(1), state.params, tokens0),
+        "prep+decode": compiled_flops(
+            lambda p, t: _decode_both(p, t[0], jcfg), state.params, tokens0),
+        "loss": compiled_flops(lambda p: loss_j(p, batch, True)[0], state.params),
+        "grad": compiled_flops(
+            lambda p: (lambda r: r[0][0] + sum(jnp.sum(g) for g in
+                                               jax.tree.leaves(r[1])))(
+                grad_j(p, batch, True)), state.params),
+        "adam": compiled_flops(
+            lambda st, g: apply_gradient_update(tx, kcfg, st, g, {})[0],
+            state, grads0),
+        "full_step": compiled_flops(
+            lambda st, b: step_impl_j(st, b, True), state, batch),
     }
     for k, v in flops.items():
         print(f"flops[{k}] = {v/1e9:.2f} GFLOP", flush=True)
 
     analytic_decode = (n_margin + n_inter) * decode_jvp_v4_flops_per_point(
         net["in_channels"], net["hidden_channels"])
-    print(f"analytic decode fwd: {analytic_decode/1e9:.2f} GFLOP", flush=True)
+    print(f"analytic decode fwd (v4 algebra): {analytic_decode/1e9:.2f} GFLOP",
+          flush=True)
 
     peak = chip_peak_flops()
     print(f"chip peak: {peak/1e12:.0f} TF/s", flush=True)
 
     # ---- budget table ----
     rows = [
-        ("encode (287 tok)", times["encode"], flops["encode"]),
-        ("weight prep", times["encode+prep"] - times["encode"],
-         flops["encode+prep"] - flops["encode"]),
-        ("decode fwd 24576 pts", times["encode+prep+decode_fwd"] - times["encode+prep"],
-         flops["encode+prep+decode_fwd"] - flops["encode+prep"]),
-        ("assembly+losses", times["fwd_losses"] - times["encode+prep+decode_fwd"],
-         flops["fwd_losses"] - flops["encode+prep+decode_fwd"]),
-        ("backward", times["fwd+bwd"] - times["fwd_losses"],
-         flops["fwd+bwd"] - flops["fwd_losses"]),
-        ("adam+clip+metrics", times["full_step"] - times["fwd+bwd"],
-         flops["full_step"] - flops["fwd+bwd"]),
-        ("FULL STEP", times["full_step"], flops["full_step"]),
+        ("encode (287 tok)", stages["encode"], flops["encode"]),
+        ("weight prep", stages["prep"], flops["prep"]),
+        ("decode fwd 24576 pts", stages["prep+decode"] - stages["prep"],
+         flops["prep+decode"] - flops["prep"]),
+        ("assembly+losses", stages["loss"] - stages["prep+decode"] - stages["encode"],
+         flops["loss"] - flops["prep+decode"] - flops["encode"]),
+        ("backward", stages["step"] - stages["loss"] - stages["adam"],
+         flops["grad"] - flops["loss"]),
+        ("adam+clip", stages["adam"], flops["adam"]),
+        # telescoping: E + P + (PD-P) + (L-PD-E) + (step-L-adam) + adam = step
+        ("SUM of stages (= step in-scan)", stages["step"], flops["full_step"]),
+        ("FULL STEP (measured)", full_step, flops["full_step"]),
     ]
     print(f"{'stage':26s} {'us':>9s} {'GFLOP':>8s} {'TF/s':>7s} {'MFU%':>6s}",
           flush=True)
@@ -229,6 +304,8 @@ def main() -> None:
         m = f / t / peak * 100 if t > 0 else float("nan")
         print(f"{name:26s} {t*1e6:9.0f} {f/1e9:8.2f} {tf:7.1f} {m:6.1f}",
               flush=True)
+    print(f"per-call overhead (full_step - in-scan step): "
+          f"{(full_step - stages['step'])*1e6:.0f} us", flush=True)
 
 
 if __name__ == "__main__":
