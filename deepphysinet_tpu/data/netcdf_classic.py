@@ -309,3 +309,110 @@ class NetCDFClassicFile:
 def open_variables(path: str) -> Dict[str, NCVariable]:
     """``netCDF4.Dataset(path).variables`` drop-in for classic files."""
     return NetCDFClassicFile(path).variables
+
+
+# --------------------------------------------------------------------------
+# writer (CDF-1, non-record variables) -- used by the GRIB ETL path
+# (data/grib2.py::GribDataset.to_netcdf) so grib->nc->tiff runs end to end on
+# real bytes without netCDF4/xarray.  Mirrors the reader's spec subset.
+# --------------------------------------------------------------------------
+
+_DTYPE_TO_NC = {
+    np.dtype("int8"): 1,
+    np.dtype("S1"): 2,
+    np.dtype("int16"): 3,
+    np.dtype("int32"): 4,
+    np.dtype("float32"): 5,
+    np.dtype("float64"): 6,
+}
+
+
+def _pack_name(name: str) -> bytes:
+    raw = name.encode("utf-8")
+    return struct.pack(">i", len(raw)) + raw + b"\x00" * (-len(raw) % 4)
+
+
+def _pack_attr_value(value) -> bytes:
+    """attr value -> nc_type + nelems + padded payload bytes."""
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        return (struct.pack(">ii", 2, len(raw)) + raw
+                + b"\x00" * (-len(raw) % 4))
+    arr = np.atleast_1d(np.asarray(value))
+    if arr.dtype == np.float64:
+        nc_type = 6
+    elif arr.dtype == np.float32:
+        nc_type = 5
+    elif arr.dtype.kind == "i" and arr.dtype.itemsize <= 2:
+        nc_type = 3
+        arr = arr.astype(np.int16)
+    else:
+        nc_type = 4
+        arr = arr.astype(np.int32)
+    payload = arr.astype(_NC_TYPES[nc_type][0]).tobytes()
+    return (struct.pack(">ii", nc_type, arr.size) + payload
+            + b"\x00" * (-len(payload) % 4))
+
+
+def _pack_attrs(attrs: Dict[str, object]) -> bytes:
+    if not attrs:
+        return struct.pack(">ii", _ABSENT, 0)
+    out = [struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))]
+    for name, value in attrs.items():
+        out.append(_pack_name(name) + _pack_attr_value(value))
+    return b"".join(out)
+
+
+def write_classic(path: str, dims: Dict[str, int], variables,
+                  global_attrs: Optional[Dict[str, object]] = None) -> None:
+    """Write a CDF-1 classic netCDF file.
+
+    ``variables`` is a sequence of ``(name, dim_names, data, attrs)`` with
+    ``data`` a numpy array whose shape matches ``dims`` and whose dtype is in
+    {int8, S1, int16, int32, float32, float64}.  All variables are non-record
+    (every dim has a fixed size), which is all the grib->nc interchange needs.
+    """
+    dim_ids = {name: i for i, name in enumerate(dims)}
+    prepared = []
+    for name, dim_names, data, attrs in variables:
+        arr = np.ascontiguousarray(data)
+        nc_type = _DTYPE_TO_NC.get(arr.dtype.newbyteorder("="))
+        if nc_type is None:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
+        shape = tuple(dims[d] for d in dim_names)
+        if arr.shape != shape:
+            raise ValueError(
+                f"{name!r}: shape {arr.shape} != dims {dim_names} -> {shape}")
+        nbytes = arr.size * _NC_TYPES[nc_type][1]
+        vsize = nbytes + (-nbytes % 4)
+        prepared.append((name, dim_names, arr, attrs or {}, nc_type, vsize))
+
+    def header(begins) -> bytes:
+        out = [b"CDF\x01", struct.pack(">i", 0)]  # numrecs = 0
+        out.append(struct.pack(">ii", _NC_DIMENSION, len(dims)))
+        for name, size in dims.items():
+            out.append(_pack_name(name) + struct.pack(">i", size))
+        out.append(_pack_attrs(global_attrs or {}))
+        out.append(struct.pack(">ii", _NC_VARIABLE, len(prepared)))
+        for (name, dim_names, _arr, attrs, nc_type, vsize), begin in zip(
+                prepared, begins):
+            out.append(_pack_name(name))
+            out.append(struct.pack(">i", len(dim_names)))
+            out.extend(struct.pack(">i", dim_ids[d]) for d in dim_names)
+            out.append(_pack_attrs(attrs))
+            out.append(struct.pack(">iIi", nc_type, vsize, begin))
+        return b"".join(out)
+
+    # two passes: header size fixes the first begin, the rest follow
+    hlen = len(header([0] * len(prepared)))
+    begins = []
+    pos = hlen
+    for _name, _dims, _arr, _attrs, _nc, vsize in prepared:
+        begins.append(pos)
+        pos += vsize
+
+    with open(path, "wb") as f:
+        f.write(header(begins))
+        for _name, _dims, arr, _attrs, nc_type, vsize in prepared:
+            payload = arr.astype(_NC_TYPES[nc_type][0]).tobytes()
+            f.write(payload + b"\x00" * (vsize - len(payload)))

@@ -1,9 +1,12 @@
 """Convert GRIB files to per-level netCDF files.
 
 Port of tools/cvt_grib_to_nc.py:69: splits each GRIB into surface / 2 m / 10 m
-and per-pressure-level (1000/925/850/700/500 hPa) netCDF files.  Requires
-``xarray`` + ``cfgrib`` at runtime (not bundled in every environment); the
-script degrades to a clear error message when they are missing.
+and per-pressure-level (1000/925/850/700/500 hPa) netCDF files.  Uses
+``xarray`` + ``cfgrib`` when installed; otherwise GRIB **edition 2** files go
+through the built-in stdlib codec (data/grib2.py: grid template 3.0, simple
+packing) and are written as classic CDF-1 netCDF -- so the whole
+grib -> nc -> tiff chain runs on real file bytes in this environment
+(tested in tests/test_grib2.py).  GRIB-1 still needs cfgrib.
 """
 
 import argparse
@@ -19,23 +22,28 @@ from deepphysinet_tpu.utils import path_utils
 PRESSURE_LEVELS = (1000, 925, 850, 700, 500)
 
 
-def _require_xr():
-    try:
-        import xarray as xr  # noqa: F401
-
-        return xr
-    except ImportError as e:
-        raise SystemExit(
-            "cvt_grib_to_nc requires xarray + cfgrib (pip install xarray cfgrib); "
-            "not available in this environment"
-        ) from e
-
-
 def _default_load(data_file, filter_by_keys):
-    """GRIB subset -> dataset with ``.to_netcdf`` (the only cfgrib line)."""
-    xr = _require_xr()
-    return xr.load_dataset(data_file, engine="cfgrib",
-                           backend_kwargs={"filter_by_keys": filter_by_keys})
+    """GRIB subset -> dataset with ``.to_netcdf`` (the one cfgrib call).
+
+    cfgrib (when installed) handles both GRIB editions; without it, edition-2
+    files are decoded by the built-in codec.  Both return an object exposing
+    ``.to_netcdf(path)``, which is all the cores use."""
+    try:
+        import xarray as xr
+
+        return xr.load_dataset(data_file, engine="cfgrib",
+                               backend_kwargs={"filter_by_keys": filter_by_keys})
+    except ImportError:
+        pass
+    with open(data_file, "rb") as f:
+        edition = f.read(8)[7:8]
+    if edition != b"\x02":
+        raise SystemExit(
+            f"{data_file}: GRIB edition {edition!r} needs xarray + cfgrib "
+            "(pip install xarray cfgrib); the built-in codec reads edition 2")
+    from deepphysinet_tpu.data.grib2 import load_dataset
+
+    return load_dataset(data_file, filter_by_keys)
 
 
 def process_pressure(data_files, result_folder, thread_id=0, load_fn=None):
