@@ -140,6 +140,7 @@ class InterfacePhysics:
         # round-3 (i)/(j)).
         self.ds_sampler = str(tpu_cfg.get("ds_sampler", "iid"))
         self.kernel_version = int(tpu_cfg.get("kernel_version", 4))
+        self.packed_assembly = bool(tpu_cfg.get("packed_assembly", True))
         self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
         # Persistent XLA compilation cache: resumes (preemption restarts,
         # repeated eval CLIs) deserialize the ~20-40 s step executables
@@ -229,6 +230,7 @@ class InterfacePhysics:
             pde_start_step=self.pde_start_step,
             pde_engine=self.pde_engine,
             kernel_version=self.kernel_version,
+            packed_assembly=self.packed_assembly,
         )
 
     @staticmethod

@@ -144,6 +144,136 @@ def fields_from_primal_tangents(
     return FieldDerivatives(fields=fields, derivs=derivs)
 
 
+def packed_physical_from_primal_tangents(
+    primal: jnp.ndarray,  # [N, 6] normalized-unit decode outputs
+    tang: jnp.ndarray,  # [3, N, 6] d(normalized)/d(physical x, y, t)
+    obs_specs,
+    with_clip: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized twin of ``fields_from_primal_tangents``.
+
+    Returns ``(P [6, N] physical fields, D [3, 6, N] physical derivs)`` in
+    variable-major layout.  Same math as the dict form (mean_norm inverse +
+    torch.clip semantics with zero derivative where the clip is active), but
+    as a handful of full-width ops instead of 24 separate ``[N, 1]`` column
+    chains -- on TPU the column form runs at 1/128 lane utilization and its
+    reverse-AD cost ~1.0 ms of the 4.9 ms production step (docs/PERF.md
+    round 4 (c)); this form and its XLA backward are a few tens of µs.
+    """
+    import numpy as np
+
+    clipped = (False, False, True, True, True, True)  # u, v never clip
+    mean = np.zeros(6, np.float32)
+    std = np.ones(6, np.float32)
+    lo = np.full(6, -np.inf, np.float32)
+    hi = np.full(6, np.inf, np.float32)
+    clip_col = np.zeros(6, bool)
+    for i, spec in enumerate(obs_specs):
+        if spec.use_norm:
+            if spec.norm_type.lower() != "mean_norm":
+                raise NotImplementedError(
+                    "packed assembly supports mean_norm only; use the "
+                    f"linearize engine for {spec.name} ({spec.norm_type})")
+            mean[i] = np.float32(spec.norm_factor[0])
+            std[i] = np.float32(spec.norm_factor[1])
+        if with_clip and clipped[i] and spec.bound is not None:
+            lo[i], hi[i] = spec.bound
+            clip_col[i] = True
+
+    primal_t = primal.T  # [6, N]
+    unclipped = primal_t * jnp.asarray(std)[:, None] + jnp.asarray(mean)[:, None]
+    fields = jnp.clip(unclipped, jnp.asarray(lo)[:, None], jnp.asarray(hi)[:, None])
+    in_bounds = (
+        (unclipped > jnp.asarray(lo)[:, None]) & (unclipped < jnp.asarray(hi)[:, None])
+    ).astype(jnp.float32)
+    scale = jnp.where(jnp.asarray(clip_col)[:, None],
+                      jnp.asarray(std)[:, None] * in_bounds,
+                      jnp.asarray(std)[:, None])  # [6, N]
+    derivs = tang.transpose(0, 2, 1) * scale[None]  # [3, 6, N]
+    return fields, derivs
+
+
+def residual_losses_packed(
+    fields: jnp.ndarray,  # [6, N] physical (u, v, p, T, q, rho)
+    derivs: jnp.ndarray,  # [3, 6, N] physical d/dx, d/dy, d/dt
+    coriolis_f: jnp.ndarray,  # [N, 1] or [N]
+    loss_factor: Dict[str, float],
+    constants: PhysicalConstants = DEFAULT_CONSTANTS,
+) -> Dict[str, jnp.ndarray]:
+    """Vectorized twin of ``residual_losses_from_fields`` (MSE criterion).
+
+    All six equations share the advective operator D(.)/Dt computed once on
+    the full [6, N] block; each residual is then a row combination.  Same
+    formulas and stop_gradient placement as physics/equations.py (reference
+    interface_physics.py:90-185); identical values, vastly cheaper XLA
+    reverse-AD (docs/PERF.md round 4 (d)).
+    """
+    c = constants
+    u, v, p, T, q, rho = (fields[i] for i in range(6))
+    f = coriolis_f[:, 0] if coriolis_f.ndim == 2 else coriolis_f
+    # advective derivative of every variable: [6, N]
+    adv = derivs[2] + u[None, :] * derivs[0] + v[None, :] * derivs[1]
+
+    r_u = adv[0] + derivs[0, 2] / rho - f * v
+    r_v = adv[1] + derivs[1, 2] / rho + f * u
+    r_c = adv[5] + rho * (derivs[0, 0] + derivs[1, 1])
+    r_e = (c.c_p * adv[3] - adv[2] / (rho + c.eps_rho) + c.latent_heat * adv[4])
+
+    dp, dq = adv[2], adv[4]
+    q_s = jax.lax.stop_gradient(saturation_specific_humidity_packed(p, T))
+    q_s = jnp.maximum(q_s, 1e-6)
+    delta = jax.lax.stop_gradient(
+        jnp.where(jnp.logical_and(dp < 0, q >= q_s),
+                  jnp.ones_like(dp), jnp.zeros_like(dp)))
+    r_moist = (1.0 + 0.608 * q) * c.r_d
+    f_fac = (c.latent_heat * r_moist - c.c_p * c.r_v * T) / (
+        c.c_p * c.r_v + T * T + c.latent_heat**2 * q_s)
+    f_fac = jax.lax.stop_gradient(f_fac * q_s * T)
+    r_q = -dp * delta * f_fac / (p + c.eps_rho) + dq
+
+    r_g = p - rho * (1.0 + 0.608 * q) * c.r_d * T
+
+    def mse(r):
+        r32 = r.astype(jnp.float32)
+        return jnp.mean(r32 * r32)
+
+    losses = {
+        "montion_u_loss": mse(r_u) * loss_factor["motion_u_factor"],
+        "montion_v_loss": mse(r_v) * loss_factor["motion_v_factor"],
+        "continous_loss": mse(r_c) * loss_factor["continuous_factor"],
+        "energy_loss": mse(r_e) * loss_factor["energy_factor"],
+        "vapor_loss": mse(r_q) * loss_factor["vapor_factor"],
+        "gas_loss": mse(r_g) * loss_factor["gas_factor"],
+    }
+    losses["total"] = (
+        losses["montion_u_loss"] + losses["montion_v_loss"] + losses["energy_loss"]
+        + losses["continous_loss"] + losses["vapor_loss"] + losses["gas_loss"]
+    )
+    return losses
+
+
+def saturation_specific_humidity_packed(p: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    """Tetens formula on row vectors (same math as equations.py)."""
+    t = T - 273.15
+    e_s = 6.112 * jnp.exp(17.67 * t / (t + 243.5)) * 100.0
+    return 0.622 * e_s / (p - 0.378 * e_s)
+
+
+def packed_residual_losses_from_primal_tangents(
+    primal: jnp.ndarray,
+    tang: jnp.ndarray,
+    coriolis_f: jnp.ndarray,
+    obs_specs,
+    loss_factor: Dict[str, float],
+    with_clip: bool = True,
+    constants: PhysicalConstants = DEFAULT_CONSTANTS,
+) -> Dict[str, jnp.ndarray]:
+    """Fused vectorized assembly: (primal, tang) -> per-equation losses."""
+    fields, derivs = packed_physical_from_primal_tangents(
+        primal, tang, obs_specs, with_clip)
+    return residual_losses_packed(fields, derivs, coriolis_f, loss_factor, constants)
+
+
 def _kernel_inputs(model, params, tokens, coords, coord_data, fore_h, coord_spec):
     from deepphysinet_tpu.ops.decode_kernel import extract_decode_weights, pe_and_tangents
     from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
@@ -170,8 +300,13 @@ def fused_kernel_fields(
     trainable: bool = False,
     version: int = 4,
     in_kernel_pe: bool = False,
+    raw_tangents: bool = False,
 ) -> Tuple[jnp.ndarray, FieldDerivatives]:
     """``(primal_norm [N, 6], FieldDerivatives)`` via the fused Pallas kernel.
+
+    With ``raw_tangents=True`` the normalized ``tang [3, N, 6]`` is returned
+    instead of the assembled FieldDerivatives (for the packed vectorized
+    assembly path, ``packed_residual_losses_from_primal_tangents``).
 
     The normalized primal is returned alongside the physical fields so the
     training step can reuse it as the data-loss prediction instead of paying
@@ -211,6 +346,8 @@ def fused_kernel_fields(
             primal, tang = fused_decode_jvp_v6(
                 fw6, trig, cd_pe, coord_data, interpret=interpret,
                 compute_dtype=model.compute_dtype)
+        if raw_tangents:
+            return primal, tang
         return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
     if in_kernel_pe and version == 4 and not trainable:
@@ -223,6 +360,8 @@ def fused_kernel_fields(
         primal, tang = fused_decode_jvp_v4pe(
             fw, coords, coord_data, coord_spec, interpret=interpret,
             compute_dtype=model.compute_dtype)
+        if raw_tangents:
+            return primal, tang
         return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
     weights, pe, dpe, cd_pe = _kernel_inputs(
@@ -247,6 +386,8 @@ def fused_kernel_fields(
         primal, tang = fused_decode_jvp(weights, pe, dpe, cd_pe, coord_data,
                                         interpret=interpret,
                                         compute_dtype=model.compute_dtype)
+    if raw_tangents:
+        return primal, tang
     return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
 
@@ -261,6 +402,7 @@ def jvp_fields(
     obs_specs,
     with_clip: bool = True,
     version: int = 4,
+    raw_tangents: bool = False,
 ) -> Tuple[jnp.ndarray, FieldDerivatives]:
     """Pure-XLA analytic-tangent fields via the collapsed v4 algebra.
 
@@ -290,6 +432,8 @@ def jvp_fields(
         fw6 = fuse_v6_from_v4(fuse_decode_weights(weights), coord_spec)
         primal, tang = decode_jvp_xla_v6(fw6, trig, cd_pe, coord_data,
                                          model.compute_dtype)
+        if raw_tangents:
+            return primal, tang
         return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
     weights, pe, dpe, cd_pe = _kernel_inputs(
@@ -298,6 +442,8 @@ def jvp_fields(
     fw = fuse_decode_weights(weights)
     primal, tang = decode_jvp_xla_v4(fw, pe, dpe, cd_pe, coord_data,
                                      model.compute_dtype)
+    if raw_tangents:
+        return primal, tang
     return primal, fields_from_primal_tangents(primal, tang, obs_specs, with_clip)
 
 

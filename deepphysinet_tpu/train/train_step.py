@@ -98,6 +98,13 @@ class StepConfig:
     # (no dpe array; docs/PERF.md round 3 (l)).  Identical math either way;
     # set via train_cfg.tpu.kernel_version.
     kernel_version: int = 4
+    # vectorized [6, N]-layout residual assembly for the jvp/kernel engines
+    # with the default MSE pde criterion -- identical values, but its XLA
+    # reverse-AD is ~25x cheaper than the [N, 1]-column dict form's
+    # (docs/PERF.md round 4 (c)/(d)).  Falls back to the dict form
+    # automatically for custom pde losses or the linearize engine; set via
+    # train_cfg.tpu.packed_assembly.
+    packed_assembly: bool = True
 
     def factors(self) -> Dict[str, float]:
         return dict(self.loss_factor)
@@ -130,7 +137,7 @@ def _window_losses(
     """
     from deepphysinet_tpu.physics.engine import (
         FieldDerivatives, FIELD_KEYS, fused_kernel_fields, jvp_fields,
-        residual_losses_from_fields)
+        packed_residual_losses_from_primal_tangents, residual_losses_from_fields)
     from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 
     factors = cfg.factors()
@@ -142,18 +149,30 @@ def _window_losses(
             f"unknown pde_engine {cfg.pde_engine!r}; expected 'jvp', "
             "'linearize' or 'kernel' (train_cfg.tpu.pde_engine)")
 
+    packed = cfg.packed_assembly and pde_criterion is None
+
     def engine_fields(pts: PointBatch):
-        """(primal_norm, FieldDerivatives) for one point set via cfg.pde_engine."""
+        """(primal_norm, FieldDerivatives | raw tang) via cfg.pde_engine."""
         coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
         if cfg.pde_engine == "kernel":
             return fused_kernel_fields(
                 model, params, tokens, coords, pts.nwp, fore_h,
                 cfg.coord_spec, cfg.obs_specs, with_clip=True, trainable=True,
                 interpret=cfg.kernel_interpret, version=cfg.kernel_version,
+                raw_tangents=packed,
             )
         return jvp_fields(model, params, tokens, coords, pts.nwp, fore_h,
                           cfg.coord_spec, cfg.obs_specs, with_clip=True,
-                          version=cfg.kernel_version)
+                          version=cfg.kernel_version, raw_tangents=packed)
+
+    def engine_losses(pred, fd_or_tang, coriolis_f):
+        """Residual losses from engine_fields' second output."""
+        if packed:
+            return packed_residual_losses_from_primal_tangents(
+                pred, fd_or_tang, coriolis_f, cfg.obs_specs, factors,
+                with_clip=True, constants=cfg.constants)
+        return residual_losses_from_fields(fd_or_tang, coriolis_f, factors,
+                                           cfg.constants, pde_criterion)
 
     if with_pde and cfg.pde_engine == "linearize":
         # --- shared margin evaluation: data loss + PDE in one linearize ---
@@ -188,8 +207,7 @@ def _window_losses(
         # normalized primal doubles as the data-loss prediction (no second
         # decode of the 20480 margin points) ---
         pred, fd = engine_fields(margin)
-        m_losses = residual_losses_from_fields(fd, margin.f, factors,
-                                               cfg.constants, pde_criterion)
+        m_losses = engine_losses(pred, fd, margin.f)
         for k, v in m_losses.items():
             out[f"margin_{k}"] = v
     else:
@@ -217,9 +235,8 @@ def _window_losses(
                 phys_fn, coords, inter.f, factors, cfg.constants, pde_criterion
             )
         else:
-            _, fd = engine_fields(inter)
-            losses = residual_losses_from_fields(fd, inter.f, factors,
-                                                 cfg.constants, pde_criterion)
+            ipred, fd = engine_fields(inter)
+            losses = engine_losses(ipred, fd, inter.f)
         for k, v in losses.items():
             out[f"inter_{k}"] = v
     return out
