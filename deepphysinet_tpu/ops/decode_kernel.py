@@ -592,13 +592,23 @@ def _decode_kernel_v4(
     w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
     fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
     primal_ref, tang_ref,
-    *, block_n: int, n_vars: int, cdt,
+    *, block_n: int, n_vars: int, cdt, t_layout: bool = False,
 ):
     """v4: collapsed-algebra decode + 3 tangents (see FusedDecodeWeights).
 
     Per variable: two relu layers' pre-activations are the only full-width
     matmuls; primal and the 3 tangent rows share the big [4Nb, hid] trunk
     matmul; everything after the second relu is lane reductions on the VPU.
+
+    ``t_layout=True`` is the var-major variant: ``ref`` arrives transposed
+    [6, Nb] and the outputs are written as [n_vars, Nb] / [3, n_vars, Nb].
+    The per-variable rows ``o``/``to3`` come out of the lane reductions
+    lane-major, so stacking them on the SUBLANE axis is free, while the
+    [Nb, 6] column form pays a lane->sublane relayout per variable (the
+    residual kernel's row-vs-column epilogue A/B measured that relayout at
+    ~16%: 18.2M vs 15.3M evals/s) -- and the var-major HBM layout is what
+    the packed [6, N] residual assembly consumes directly (docs/PERF.md
+    round 4 (e)).
     """
     P_in = pe_ref[...]  # [Nb, in_ch] cdt
     T_in = dpe_ref[...]  # [3, Nb, in_ch//3] cdt compact
@@ -607,16 +617,22 @@ def _decode_kernel_v4(
     primal_cols, tang_cols = [], []
     for v in range(n_vars):
         o, to3 = _v4_var_column(
-            P_in, T_in, CD, ref_ref[:, v],
+            P_in, T_in, CD, ref_ref[v] if t_layout else ref_ref[:, v],
             w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
             fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
             v=v, block_n=block_n, cdt=cdt,
         )
-        primal_cols.append(o[:, None])
-        tang_cols.append(to3[:, :, None])
+        if t_layout:
+            primal_cols.append(o[None, :])  # [1, Nb] lane-major row
+            tang_cols.append(to3[:, None, :])  # [3, 1, Nb]
+        else:
+            primal_cols.append(o[:, None])
+            tang_cols.append(to3[:, :, None])
 
-    primal_ref[...] = jnp.concatenate(primal_cols, axis=-1).astype(primal_ref.dtype)
-    tang_ref[...] = jnp.concatenate(tang_cols, axis=-1).astype(tang_ref.dtype)
+    axis = 0 if t_layout else -1
+    primal_ref[...] = jnp.concatenate(primal_cols, axis=axis).astype(primal_ref.dtype)
+    tang_ref[...] = jnp.concatenate(tang_cols, axis=1 if t_layout else -1).astype(
+        tang_ref.dtype)
 
 
 def fused_decode_jvp_v4(
@@ -685,6 +701,70 @@ def fused_decode_jvp_v4(
         interpret=interpret,
     )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd), ref.astype(jnp.float32), *wt)
     return primal[:n], tang[:, :n]
+
+
+def fused_decode_jvp_v4t(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,  # [N, in_ch] f32
+    dpe: jnp.ndarray,  # [3, N, in_ch//3] f32 compact
+    cd_pe: jnp.ndarray,  # [N, in_ch] f32
+    ref_t: jnp.ndarray,  # [6, N] TRANSPOSED conditioning values
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Var-major twin of fused_decode_jvp_v4: primal [6, N] + tangents [3, 6, N].
+
+    Same math, transposed output layout: each variable's lane-major row is
+    written straight to its sublane slot, skipping the per-variable
+    lane->sublane relayout of the [N, 6] column form AND producing the layout
+    the packed residual assembly (physics/engine.py::residual_losses_packed)
+    and the data loss consume with zero XLA-side transposes of lane-padded
+    minor-dim-6 buffers (docs/PERF.md round 4 (e)/(f))."""
+    n, in_ch = pe.shape
+    ch = dpe.shape[-1]
+    n_vars = fw.w1.shape[0]
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+        dpe = jnp.pad(dpe, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        ref_t = jnp.pad(ref_t, ((0, 0), (0, pad)))
+    n_pad = pe.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1.astype(cd), fw.w1c.astype(cd), fw.b1.astype(f32),
+          fw.w2f1.astype(cd), fw.wdf1.astype(cd), fw.rbias.astype(f32),
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32),
+          fw.obias.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(_decode_kernel_v4, block_n=block_n,
+                               n_vars=n_vars, cdt=cd, t_layout=True)
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_vars, n_pad), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, ch), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((n_vars, block_n), lambda i: (0, i), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((n_vars, block_n), lambda i: (0, i), memory_space=mem),
+            pl.BlockSpec((3, n_vars, block_n), lambda i: (0, 0, i), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd), ref_t.astype(jnp.float32), *wt)
+    return primal[:, :n], tang[:, :, :n]
 
 
 def decode_jvp_xla_v4(
@@ -1095,7 +1175,7 @@ def _decode_bwd_kernel_v4(
     fw2_ref, w2wo_ref, wdwo_ref,
     gw1_ref, gw1c_ref, gb1_ref, gw2f1_ref, gwdf1_ref, grbias_ref,
     gfw2_ref, gw2wo_ref, gwdwo_ref,
-    *, block_n: int, n_vars: int, cdt,
+    *, block_n: int, n_vars: int, cdt, t_layout: bool = False,
 ):
     """Backward of the collapsed v4 decode wrt the fused weights.
 
@@ -1104,6 +1184,12 @@ def _decode_bwd_kernel_v4(
     that traffic) and accumulates every weight gradient across the grid into
     VMEM-resident output blocks (all grid steps map to output block 0; the
     buffers are initialized at step 0 and written back once at the end).
+
+    ``t_layout=True``: the cotangents arrive var-major ([n_vars, Nb] /
+    [3, n_vars, Nb], straight from the packed [6, N] assembly backward with
+    no XLA-side relayout of lane-padded minor-dim-6 buffers); the kernel
+    transposes the tiny [n_vars, Nb] blocks in VMEM to the column form the
+    per-variable math uses.
     """
     f32 = jnp.float32
     i = pl.program_id(0)
@@ -1132,6 +1218,13 @@ def _decode_bwd_kernel_v4(
             g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
 
+    if t_layout:
+        # [n_vars, Nb] -> [Nb, n_vars] in VMEM: ~6x256 values, negligible next
+        # to the [Nb, hid] matmul operands, and it spares XLA the HBM-side
+        # relayout of the 6/128-lane-padded [N, 6] form
+        gp_t = go_ref[...].T  # [Nb, n_vars]
+        gt_t = [gto_ref[k].T for k in range(3)]  # each [Nb, n_vars]
+
     for v in range(n_vars):
         # ---- recompute the forward chain ----
         z = dot(P_in, w1_ref[v]) + b1_ref[v][None, :]
@@ -1149,8 +1242,13 @@ def _decode_bwd_kernel_v4(
         tr = jnp.where(maskr3, dot(t, W), 0.0)
 
         # ---- backward ----
-        go = go_ref[:, v : v + 1]  # [Nb, 1] f32
-        gto = gto_ref[..., v].reshape(3 * block_n, 1)  # [3Nb, 1]
+        if t_layout:
+            go = gp_t[:, v : v + 1]  # [Nb, 1] f32
+            gto = jnp.concatenate(
+                [gt_t[k][:, v : v + 1] for k in range(3)], axis=0)  # [3Nb, 1]
+        else:
+            go = go_ref[:, v : v + 1]  # [Nb, 1] f32
+            gto = gto_ref[..., v].reshape(3 * block_n, 1)  # [3Nb, 1]
         a_v = fw2_ref[v][None, :]  # [1, hid]
         b_v = w2wo_ref[v][None, :]
 
@@ -1261,6 +1359,86 @@ def decode_bwd_kernel_v4(
         obias=jnp.sum(g_primal[:n], axis=0))
 
 
+def decode_bwd_kernel_v4t(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,
+    dpe: jnp.ndarray,
+    cd_pe: jnp.ndarray,
+    g_primal_t: jnp.ndarray,  # [6, N] f32 var-major
+    g_tang_t: jnp.ndarray,  # [3, 6, N] f32 var-major
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
+) -> FusedDecodeWeights:
+    """Var-major twin of decode_bwd_kernel_v4 (cotangents arrive [6, N])."""
+    n, in_ch = pe.shape
+    ch = dpe.shape[-1]
+    n_vars = fw.w1.shape[0]
+    hid = fw.w1.shape[-1]
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+        dpe = jnp.pad(dpe, ((0, 0), (0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        g_primal_t = jnp.pad(g_primal_t, ((0, 0), (0, pad)))
+        g_tang_t = jnp.pad(g_tang_t, ((0, 0), (0, 0), (0, pad)))
+    n_pad = pe.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1.astype(cd), fw.w1c.astype(cd), fw.b1.astype(f32),
+          fw.w2f1.astype(cd), fw.wdf1.astype(cd), fw.rbias.astype(f32),
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    acc = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=mem)
+    kernel = functools.partial(_decode_bwd_kernel_v4, block_n=block_n,
+                               n_vars=n_vars, cdt=cd, t_layout=True)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars, in_ch, hid), f32),  # g_w1
+            jax.ShapeDtypeStruct((n_vars, 3, ch, hid), f32),  # g_w1c
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_b1
+            jax.ShapeDtypeStruct((n_vars, hid, hid), f32),  # g_w2f1
+            jax.ShapeDtypeStruct((n_vars, in_ch, hid), f32),  # g_wdf1
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_rbias
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_fw2
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_w2wo
+            jax.ShapeDtypeStruct((n_vars, in_ch), f32),  # g_wdwo
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((3, block_n, ch), lambda i: (0, i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((n_vars, block_n), lambda i: (0, i), memory_space=mem),
+            pl.BlockSpec((3, n_vars, block_n), lambda i: (0, 0, i), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            acc(n_vars, in_ch, hid), acc(n_vars, 3, ch, hid), acc(n_vars, hid),
+            acc(n_vars, hid, hid), acc(n_vars, in_ch, hid), acc(n_vars, hid),
+            acc(n_vars, hid), acc(n_vars, hid), acc(n_vars, in_ch),
+        ),
+        interpret=interpret,
+        **extra,
+    )(pe.astype(cd), dpe.astype(cd), cd_pe.astype(cd),
+      g_primal_t.astype(f32), g_tang_t.astype(f32), *wt)
+    return FusedDecodeWeights(
+        w1=outs[0], w1c=outs[1], b1=outs[2], w2f1=outs[3], wdf1=outs[4],
+        rbias=outs[5], fw2=outs[6], w2wo=outs[7], wdwo=outs[8],
+        obias=jnp.sum(g_primal_t[:, :n], axis=1))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_decode_jvp_v4_kbwd(fw, pe, dpe, cd_pe, ref,
                              block_n=256, compute_dtype=jnp.bfloat16,
@@ -1311,6 +1489,62 @@ def _fused_v4_kbwd_bwd(block_n, compute_dtype, interpret, res, g):
 
 
 fused_decode_jvp_v4_kbwd.defvjp(_fused_v4_kbwd_fwd, _fused_v4_kbwd_bwd)
+
+
+def decode_jvp_xla_v4t(fw, pe, dpe, cd_pe, ref_t, compute_dtype=jnp.bfloat16):
+    """Var-major XLA twin: transposed wrapper of decode_jvp_xla_v4."""
+    primal, tang = decode_jvp_xla_v4(fw, pe, dpe, cd_pe, ref_t.T, compute_dtype)
+    return primal.T, tang.transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_decode_jvp_v4t_kbwd(fw, pe, dpe, cd_pe, ref_t,
+                              block_n=256, compute_dtype=jnp.bfloat16,
+                              interpret=False):
+    """Var-major v4 decode with Pallas kernels on BOTH passes.
+
+    Training hot path when the packed [6, N] residual assembly is active:
+    ``(primal_t [6, N], tang_t [3, 6, N])`` flow between the kernels and the
+    assembly with NO lane-padded [N, 6] buffer ever crossing the custom-vjp
+    boundary (the measured ~0.84 ms/step seam, docs/PERF.md round 4 (e)).
+    Same gradient contract as fused_decode_jvp_v4_kbwd: exact cotangents for
+    the fused weights and ``ref_t``, zeros for pe/dpe/cd_pe.
+    """
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
+        return fused_decode_jvp_v4t(fw, pe, dpe, cd_pe, ref_t,
+                                    block_n=block_n, compute_dtype=compute_dtype,
+                                    interpret=interpret)
+    return decode_jvp_xla_v4t(fw, pe, dpe, cd_pe, ref_t, compute_dtype)
+
+
+def _fused_v4t_kbwd_fwd(fw, pe, dpe, cd_pe, ref_t, block_n, compute_dtype,
+                        interpret):
+    out = fused_decode_jvp_v4t_kbwd(fw, pe, dpe, cd_pe, ref_t, block_n,
+                                    compute_dtype, interpret)
+    return out, (fw, pe, dpe, cd_pe)
+
+
+def _fused_v4t_kbwd_bwd(block_n, compute_dtype, interpret, res, g):
+    fw, pe, dpe, cd_pe = res
+    g_primal_t, g_tang_t = g
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
+        gfw = decode_bwd_kernel_v4t(fw, pe, dpe, cd_pe, g_primal_t, g_tang_t,
+                                    block_n=block_n, compute_dtype=compute_dtype,
+                                    interpret=interpret)
+    else:
+        # CPU fallback: the twin's VJP, projected onto the weight cotangents
+        zeros_ref = jnp.zeros((g_primal_t.shape[1], g_primal_t.shape[0]),
+                              g_primal_t.dtype)
+        _, vjp = jax.vjp(
+            lambda w: decode_jvp_xla_v4(w, pe, dpe, cd_pe, zeros_ref,
+                                        compute_dtype), fw)
+        (gfw,) = vjp((g_primal_t.T, g_tang_t.transpose(0, 2, 1)))
+    g_ref_t = g_primal_t  # o = ... + ref (identity head)
+    return (gfw, jnp.zeros_like(pe), jnp.zeros_like(dpe),
+            jnp.zeros_like(cd_pe), g_ref_t)
+
+
+fused_decode_jvp_v4t_kbwd.defvjp(_fused_v4t_kbwd_fwd, _fused_v4t_kbwd_bwd)
 
 
 def decode_jvp_xla(

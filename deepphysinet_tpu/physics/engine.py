@@ -160,6 +160,22 @@ def packed_physical_from_primal_tangents(
     reverse-AD cost ~1.0 ms of the 4.9 ms production step (docs/PERF.md
     round 4 (c)); this form and its XLA backward are a few tens of µs.
     """
+    return packed_physical_from_primal_tangents_t(
+        primal.T, tang.transpose(0, 2, 1), obs_specs, with_clip)
+
+
+def packed_physical_from_primal_tangents_t(
+    primal_t: jnp.ndarray,  # [6, N] var-major normalized decode outputs
+    tang_t: jnp.ndarray,  # [3, 6, N] var-major normalized tangents
+    obs_specs,
+    with_clip: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``packed_physical_from_primal_tangents`` on already-var-major inputs.
+
+    The var-major decode kernel (ops/decode_kernel.py::fused_decode_jvp_v4t)
+    emits this layout directly, so no transpose of a lane-padded minor-dim-6
+    buffer appears anywhere in the traced program (docs/PERF.md round 4 (e)).
+    """
     import numpy as np
 
     clipped = (False, False, True, True, True, True)  # u, v never clip
@@ -180,7 +196,6 @@ def packed_physical_from_primal_tangents(
             lo[i], hi[i] = spec.bound
             clip_col[i] = True
 
-    primal_t = primal.T  # [6, N]
     unclipped = primal_t * jnp.asarray(std)[:, None] + jnp.asarray(mean)[:, None]
     fields = jnp.clip(unclipped, jnp.asarray(lo)[:, None], jnp.asarray(hi)[:, None])
     in_bounds = (
@@ -189,7 +204,7 @@ def packed_physical_from_primal_tangents(
     scale = jnp.where(jnp.asarray(clip_col)[:, None],
                       jnp.asarray(std)[:, None] * in_bounds,
                       jnp.asarray(std)[:, None])  # [6, N]
-    derivs = tang.transpose(0, 2, 1) * scale[None]  # [3, 6, N]
+    derivs = tang_t * scale[None]  # [3, 6, N]
     return fields, derivs
 
 
@@ -272,6 +287,51 @@ def packed_residual_losses_from_primal_tangents(
     fields, derivs = packed_physical_from_primal_tangents(
         primal, tang, obs_specs, with_clip)
     return residual_losses_packed(fields, derivs, coriolis_f, loss_factor, constants)
+
+
+def packed_residual_losses_from_primal_tangents_t(
+    primal_t: jnp.ndarray,  # [6, N] var-major
+    tang_t: jnp.ndarray,  # [3, 6, N] var-major
+    coriolis_f: jnp.ndarray,
+    obs_specs,
+    loss_factor: Dict[str, float],
+    with_clip: bool = True,
+    constants: PhysicalConstants = DEFAULT_CONSTANTS,
+) -> Dict[str, jnp.ndarray]:
+    """Var-major twin: consumes the v4t kernel's layout with zero transposes."""
+    fields, derivs = packed_physical_from_primal_tangents_t(
+        primal_t, tang_t, obs_specs, with_clip)
+    return residual_losses_packed(fields, derivs, coriolis_f, loss_factor, constants)
+
+
+def fused_kernel_fields_t(
+    model,
+    params,
+    tokens: jnp.ndarray,  # [T, D]
+    coords: jnp.ndarray,  # [N, 3] physical
+    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
+    fore_h: jnp.ndarray,  # [1]
+    coord_spec,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Var-major trainable decode: ``(primal_t [6, N], tang_t [3, 6, N])``.
+
+    The layout twin of ``fused_kernel_fields(trainable=True, raw_tangents=
+    True, version=4)``: the custom-vjp pair runs the [6, N]-output Pallas
+    kernels so the packed residual assembly and the (elementwise) data loss
+    consume kernel outputs directly — no lane-padded [N, 6] buffer on the
+    grad path (docs/PERF.md round 4 (e)).  The only [N, 6]-layout op left is
+    the forward-only transpose of the stop-gradient'd conditioning values.
+    """
+    from deepphysinet_tpu.ops.decode_kernel import (
+        fuse_decode_weights, fused_decode_jvp_v4t_kbwd)
+
+    weights, pe, dpe, cd_pe = _kernel_inputs(
+        model, params, tokens, coords, coord_data, fore_h, coord_spec)
+    ref_t = jax.lax.stop_gradient(coord_data).T
+    fw = fuse_decode_weights(weights)
+    return fused_decode_jvp_v4t_kbwd(fw, pe, dpe, cd_pe, ref_t, 256,
+                                     model.compute_dtype, interpret)
 
 
 def _kernel_inputs(model, params, tokens, coords, coord_data, fore_h, coord_spec):

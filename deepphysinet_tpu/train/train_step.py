@@ -105,6 +105,12 @@ class StepConfig:
     # automatically for custom pde losses or the linearize engine; set via
     # train_cfg.tpu.packed_assembly.
     packed_assembly: bool = True
+    # var-major kernel IO for the packed kernel-engine path: the v4t Pallas
+    # pair emits/consumes [6, N] layouts natively so no lane-padded [N, 6]
+    # buffer crosses the custom-vjp boundary (docs/PERF.md round 4 (g)).
+    # Identical values (bitwise kernel parity, tests/test_decode_kernel_v4t);
+    # only effective when the packed kernel v4 path is active.
+    var_major: bool = True
 
     def factors(self) -> Dict[str, float]:
         return dict(self.loss_factor)
@@ -136,8 +142,9 @@ def _window_losses(
     evaluates those 20480 points twice (interface_physics.py:467 then :493).
     """
     from deepphysinet_tpu.physics.engine import (
-        FieldDerivatives, FIELD_KEYS, fused_kernel_fields, jvp_fields,
-        packed_residual_losses_from_primal_tangents, residual_losses_from_fields)
+        FieldDerivatives, FIELD_KEYS, fused_kernel_fields, fused_kernel_fields_t,
+        jvp_fields, packed_residual_losses_from_primal_tangents,
+        packed_residual_losses_from_primal_tangents_t, residual_losses_from_fields)
     from deepphysinet_tpu.train.point_fn import inverse_norm_stack
 
     factors = cfg.factors()
@@ -150,10 +157,20 @@ def _window_losses(
             "'linearize' or 'kernel' (train_cfg.tpu.pde_engine)")
 
     packed = cfg.packed_assembly and pde_criterion is None
+    # var-major: the kernel engine's packed path runs entirely in [6, N]
+    # layout -- the v4t Pallas kernels emit/consume it natively and no
+    # lane-padded minor-dim-6 buffer appears on the grad path (docs/PERF.md
+    # round 4 (e)/(f)); values identical, pinned by tests
+    var_major = (cfg.var_major and packed and cfg.pde_engine == "kernel"
+                 and cfg.kernel_version == 4)
 
     def engine_fields(pts: PointBatch):
         """(primal_norm, FieldDerivatives | raw tang) via cfg.pde_engine."""
         coords = jnp.stack([pts.x, pts.y, pts.t], axis=-1)
+        if var_major:
+            return fused_kernel_fields_t(
+                model, params, tokens, coords, pts.nwp, fore_h,
+                cfg.coord_spec, interpret=cfg.kernel_interpret)
         if cfg.pde_engine == "kernel":
             return fused_kernel_fields(
                 model, params, tokens, coords, pts.nwp, fore_h,
@@ -167,6 +184,10 @@ def _window_losses(
 
     def engine_losses(pred, fd_or_tang, coriolis_f):
         """Residual losses from engine_fields' second output."""
+        if var_major:
+            return packed_residual_losses_from_primal_tangents_t(
+                pred, fd_or_tang, coriolis_f, cfg.obs_specs, factors,
+                with_clip=True, constants=cfg.constants)
         if packed:
             return packed_residual_losses_from_primal_tangents(
                 pred, fd_or_tang, coriolis_f, cfg.obs_specs, factors,
@@ -219,9 +240,19 @@ def _window_losses(
         pred = model.apply(params, tokens, pe, margin.nwp, fore_h,
                            method=PhysicsNet.decode)
 
-    margin_loss = pred_loss_fn(pred, margin.labels) * factors["margin_factor"]
-    out["margin_loss"] = margin_loss
-    out["_pred_norm"] = pred
+    if with_pde and var_major:
+        # pred is var-major [6, N]; the loss is elementwise + mean, so feeding
+        # the transposed LABELS (data, no cotangent) keeps the whole grad path
+        # in [6, N] layout -- only the aux metrics copy below transposes back,
+        # and has_aux means that transpose is never differentiated
+        margin_loss = (pred_loss_fn(pred, margin.labels.T)
+                       * factors["margin_factor"])
+        out["margin_loss"] = margin_loss
+        out["_pred_norm"] = pred.T
+    else:
+        margin_loss = pred_loss_fn(pred, margin.labels) * factors["margin_factor"]
+        out["margin_loss"] = margin_loss
+        out["_pred_norm"] = pred
 
     if with_pde:
         # --- interior collocation points (:476-498) ---
