@@ -572,6 +572,24 @@ def fused_residual_losses(
             model, params, tokens, coords, coord_data, fore_h, coriolis_f,
             coord_spec, obs_specs, loss_factor, with_clip=with_clip,
             constants=constants, interpret=interpret, version=version)
+    if version == 4:
+        # var-major split path: the v4t kernel writes each variable's
+        # lane-major row straight to its [6, N] sublane slot (no in-kernel
+        # lane->sublane relayout) and the packed assembly consumes that
+        # layout directly -- 20.86M vs 18.07M evals/s at the 40960-pt bench
+        # shape (docs/PERF.md round 4 (g), scripts/perf_varmajor_ab.py)
+        from deepphysinet_tpu.ops.decode_kernel import (
+            fuse_decode_weights, fused_decode_jvp_v4t)
+
+        weights, pe, dpe, cd_pe = _kernel_inputs(
+            model, params, tokens, coords, coord_data, fore_h, coord_spec)
+        ref_t = jax.lax.stop_gradient(coord_data).T
+        primal_t, tang_t = fused_decode_jvp_v4t(
+            fuse_decode_weights(weights), pe, dpe, cd_pe, ref_t,
+            interpret=interpret, compute_dtype=model.compute_dtype)
+        return packed_residual_losses_from_primal_tangents_t(
+            primal_t, tang_t, coriolis_f, obs_specs, loss_factor,
+            with_clip=with_clip, constants=constants)
     _, fd = fused_kernel_fields(model, params, tokens, coords, coord_data,
                                 fore_h, coord_spec, obs_specs,
                                 with_clip=with_clip, interpret=interpret,
