@@ -534,11 +534,15 @@ def collapsed_decode(
     return decode_xla_v4_primal(fw, pe, cd_pe, coord_data, model.compute_dtype)
 
 
-# Measured crossover on v5e (scripts/perf_residual_kernel.py, docs/PERF.md
-# round 3e): below this point count the split decode-kernel + XLA assembly is
-# equal-or-faster (18.2M evals/s at the 24K-49K plateau); at and above it the
-# in-kernel assembly wins (17.8M vs 15.6M at 65K-98K) because the [3, N, 6]
-# tangent tensor never round-trips HBM, which is what caused the >49K falloff.
+# Round-3 measured a crossover at 49152 points where the in-kernel residual
+# assembly (ops/residual_kernel.py) overtook the split path: the split's
+# [3, N, 6] tangent round-trip is 21x lane-padded in HBM, which made it fall
+# off past ~49K.  The var-major (v4t) split path's [3, 6, N] tangents are
+# sublane-padded only (1.33x), and the round-4 re-sweep shows it beating the
+# in-kernel assembly at EVERY point count (20.3-20.8M vs 17.6-18.0M evals/s,
+# flat 24K..131K -- scripts/perf_assembly_crossover_v4t.py, docs/PERF.md
+# round 4 (i)), so v4 never dispatches to the in-kernel assembly anymore.
+# Non-v4 versions keep the old crossover (their split path is still [N, 6]).
 FUSED_ASSEMBLY_MIN_N = 49152
 
 
@@ -565,7 +569,7 @@ def fused_residual_losses(
     point-count crossover.  Not differentiable w.r.t. params (eval/bench
     path); training uses the custom-VJP kernel pair through train_step.
     """
-    if coords.shape[0] >= FUSED_ASSEMBLY_MIN_N:
+    if version != 4 and coords.shape[0] >= FUSED_ASSEMBLY_MIN_N:
         from deepphysinet_tpu.ops.residual_kernel import kernel_residual_losses
 
         return kernel_residual_losses(
@@ -577,7 +581,9 @@ def fused_residual_losses(
         # lane-major row straight to its [6, N] sublane slot (no in-kernel
         # lane->sublane relayout) and the packed assembly consumes that
         # layout directly -- 20.86M vs 18.07M evals/s at the 40960-pt bench
-        # shape (docs/PERF.md round 4 (g), scripts/perf_varmajor_ab.py)
+        # shape, and faster than the in-kernel assembly at every N
+        # (docs/PERF.md round 4 (g)/(i), scripts/perf_varmajor_ab.py,
+        # scripts/perf_assembly_crossover_v4t.py)
         from deepphysinet_tpu.ops.decode_kernel import (
             fuse_decode_weights, fused_decode_jvp_v4t)
 

@@ -61,11 +61,27 @@ def main() -> None:
     factors = dict(cfg["train_cfg"]["losses"]["loss_factor"])
     rng = np.random.RandomState(0)
 
+    from deepphysinet_tpu.train.optim import build_optimizer
+    from deepphysinet_tpu.train.train_step import Batch, PointBatch, create_train_state
+
     field = jnp.asarray(rng.randn(1, 159, 2405) * 0.5, jnp.float32)
     fh_enc = jnp.asarray([[24.0 / 360.0]], jnp.float32)
     fh_norm = jnp.asarray([24.0 / 360.0], jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), field, fh_enc,
-                        method=PhysicsNet.encode)
+
+    def pts(n):
+        return PointBatch(
+            x=jnp.asarray(rng.rand(1, n) * 27000 * (lon_size - 1), jnp.float32),
+            y=jnp.asarray(rng.rand(1, n) * 27000 * (lat_size - 1), jnp.float32),
+            t=jnp.asarray(rng.randint(0, 25, (1, n)) * 3600.0, jnp.float32),
+            f=jnp.asarray(1e-4 * rng.rand(1, n, 1), jnp.float32),
+            nwp=jnp.asarray(rng.randn(1, n, 6) * 0.1, jnp.float32),
+            labels=jnp.asarray(rng.randn(1, n, 6) * 0.1, jnp.float32),
+        )
+
+    init_batch = Batch(field=field, forecast_h=jnp.asarray([24.0], jnp.float32),
+                       margin=pts(256), inter=pts(256))
+    tx = build_optimizer("Adam", lr=1e-4, weight_decay=1e-4)
+    params = create_train_state(model, tx, jax.random.PRNGKey(0), init_batch).params
     jax.block_until_ready(params)
     in_ch = net["in_channels"]
     cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)

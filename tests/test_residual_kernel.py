@@ -89,7 +89,14 @@ def test_matches_linearize_engine(setup, rng):
 
 
 def test_engine_dispatch_branches_agree(setup, rng, monkeypatch):
-    """engine.fused_residual_losses: split and in-kernel branches match."""
+    """engine.fused_residual_losses: every branch agrees.
+
+    v4 always takes the var-major split path (the round-4 re-sweep retired
+    its in-kernel-assembly crossover -- scripts/perf_assembly_crossover_v4t);
+    it must match a direct in-kernel assembly call.  Non-v4 versions keep the
+    crossover dispatch, pinned here with version=6 under a monkeypatched
+    threshold.
+    """
     from deepphysinet_tpu.physics import engine
 
     model, params, tokens, obs_specs = setup
@@ -97,13 +104,21 @@ def test_engine_dispatch_branches_agree(setup, rng, monkeypatch):
     fore_h = jnp.array([0.1], jnp.float32)
     args = (model, params, tokens, coords, coord_data, fore_h, f, COORD,
             obs_specs, FACTORS)
-    monkeypatch.setattr(engine, "FUSED_ASSEMBLY_MIN_N", 10**9)
     split = engine.fused_residual_losses(*args, interpret=True)
-    monkeypatch.setattr(engine, "FUSED_ASSEMBLY_MIN_N", 1)
-    fused = engine.fused_residual_losses(*args, interpret=True)
+    fused = kernel_residual_losses(model, params, tokens, coords, coord_data,
+                                   fore_h, f, COORD, obs_specs, FACTORS,
+                                   interpret=True, block_n=32)
     for k in split:
         np.testing.assert_allclose(float(fused[k]), float(split[k]), rtol=1e-4,
                                    err_msg=k)
+
+    monkeypatch.setattr(engine, "FUSED_ASSEMBLY_MIN_N", 10**9)
+    split6 = engine.fused_residual_losses(*args, interpret=True, version=6)
+    monkeypatch.setattr(engine, "FUSED_ASSEMBLY_MIN_N", 1)
+    fused6 = engine.fused_residual_losses(*args, interpret=True, version=6)
+    for k in split6:
+        np.testing.assert_allclose(float(fused6[k]), float(split6[k]),
+                                   rtol=1e-4, err_msg=k)
 
 
 def test_no_clip_mode_matches(setup, rng):
