@@ -115,7 +115,9 @@ def extract_decode_weights(
     )
 
 
-def pe_and_tangents(coords: jnp.ndarray, coord_spec) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def pe_and_tangents(
+    coords: jnp.ndarray, coord_spec, dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SineCos PE of physical (x, y, t) and its three directional derivatives.
 
     Closed form: PE feature (freq f, fn, channel c) differentiates to
@@ -123,6 +125,16 @@ def pe_and_tangents(coords: jnp.ndarray, coord_spec) -> Tuple[jnp.ndarray, jnp.n
     needed.  The direction-k derivative touches ONLY channel-k features (64 of
     192), so tangents are returned **compact**: (pe [N, 2F*3],
     dpe [3, N, 2F]), ordered (freq, fn) to match ``w1[k::3]`` row slices.
+
+    ``dtype`` fuses the compute-dtype cast into the prep's output writes
+    (the kernels and their XLA twins cast these inputs to the compute dtype
+    anyway, so emitting it directly skips a separate cast pass).  The
+    formulation is deliberately the stacked one: a round-4 micro-bench of
+    layout-flat rewrites (lane-tile and K=3-matmul angle builds,
+    scripts/perf_prep_variants.py) measured BOTH slower than this form
+    (pe 156 us stacked vs 202/213 us, N=40960 on v5e) — the period-3 lane
+    tile is a per-element lane shuffle, and the matmul build loses angle
+    precision to the TPU's low-precision f32 matmul default.
     """
     scales = jnp.array(
         [1.0 / (coord_spec.dx * (coord_spec.lon_size - 1)),
@@ -140,7 +152,7 @@ def pe_and_tangents(coords: jnp.ndarray, coord_spec) -> Tuple[jnp.ndarray, jnp.n
     # direction k -> channel-k column, scaled; compact [N, 2F] per direction
     dpe = jnp.moveaxis(dfeat, -1, 0) * scales[:, None, None, None]  # [3, N, F, 2]
     dpe = dpe.reshape(3, cn.shape[0], -1)
-    return pe, dpe
+    return pe.astype(dtype), dpe.astype(dtype)
 
 
 def slice_tangent_weights(w1: jnp.ndarray) -> jnp.ndarray:
@@ -535,6 +547,21 @@ def _v4_epilogue(
 
     rp = dot(p.astype(cdt), w2f1_v) + dot(CD, wdf1_v) + rbias_v[None, :]  # [Nb, hid]
     rt = dot(t16, w2f1_v)  # [3Nb, hid]
+    return _v4_stage2(p, t16, rp, rt, CD, ref_col,
+                      fw2_v, w2wo_v, wdwo_v, obias_v, block_n=block_n)
+
+
+def _v4_stage2(
+    p, t16, rp, rt, CD, ref_col,
+    fw2_v, w2wo_v, wdwo_v, obias_v,
+    *, block_n: int,
+):
+    """Pure-VPU tail of the v4 epilogue: second relu + the lane reductions.
+
+    Split out of ``_v4_epilogue`` so the pipelined kernel can interleave it
+    one variable behind the MXU stage (``_v4_stage1``); numerics are
+    op-for-op identical to the original epilogue tail."""
+    f32 = jnp.float32
     maskr = rp > 0
     pr = jnp.maximum(rp, 0.0)
     tr = jnp.where(jnp.concatenate([maskr, maskr, maskr], axis=0), rt, 0.0)
@@ -551,6 +578,32 @@ def _v4_epilogue(
     to = (jnp.sum(tr * fw2, axis=-1)
           + 2.0 * jnp.sum(t16.astype(f32) * w2wo, axis=-1))  # [3Nb]
     return o, to.reshape(3, block_n)
+
+
+def _v4_stage1(
+    P_in, T_in, CD,
+    w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    *, v: int, cdt,
+):
+    """MXU phase of one variable's v4 column: both relu-layer pre-activations
+    plus the tangent trunk matmuls; op-for-op the matmul prefix of
+    ``_v4_var_column`` + ``_v4_epilogue``.  Returns ``(p, t16, rp, rt)``."""
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    z = dot(P_in, w1_ref[v]) + b1_ref[v][None, :]
+    mask = z > 0
+    p = jnp.maximum(z, 0.0)
+    t16 = jnp.concatenate(
+        [jnp.where(mask, dot(T_in[k], w1c_ref[v, k]), 0.0).astype(cdt)
+         for k in range(3)], axis=0)  # [3Nb, hid]
+    rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) + rbias_ref[v][None, :]
+    rt = dot(t16, w2f1_ref[v])
+    return p, t16, rp, rt
 
 
 def _v4_var_column(
@@ -635,6 +688,51 @@ def _decode_kernel_v4(
         tang_ref.dtype)
 
 
+def _decode_kernel_v4t_pipe(
+    pe_ref, dpe_ref, cdpe_ref, ref_ref,
+    w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, cdt,
+):
+    """Software-pipelined var-major v4: variable v's pure-VPU epilogue
+    (``_v4_stage2``) is emitted AFTER variable v+1's MXU stage
+    (``_v4_stage1``) in program order, so the in-order issue stream lets the
+    VPU reductions of one variable overlap the matmuls of the next instead
+    of serializing (the fwd kernel measured 58.9% MFU vs the bwd's 83.5% on
+    the same matmul mix -- docs/PERF.md round 4 (f); roofline puts the
+    epilogue's ~42K VPU ops/pt at ~44% of VPU capacity, which under full
+    serialization reproduces the observed rate).  Identical math to
+    ``_decode_kernel_v4(t_layout=True)``: both stages are op-for-op splits
+    of the same code, so parity is bitwise."""
+    P_in = pe_ref[...]
+    T_in = dpe_ref[...]
+    CD = cdpe_ref[...]
+
+    primal_rows, tang_rows = [], []
+
+    def flush(staged):
+        v, (p, t16, rp, rt) = staged
+        o, to3 = _v4_stage2(p, t16, rp, rt, CD, ref_ref[v],
+                            fw2_ref[v], w2wo_ref[v], wdwo_ref[v], obias_ref[v],
+                            block_n=block_n)
+        primal_rows.append(o[None, :])
+        tang_rows.append(to3[:, None, :])
+
+    staged = None
+    for v in range(n_vars):
+        cur = _v4_stage1(P_in, T_in, CD,
+                         w1_ref, w1c_ref, b1_ref, w2f1_ref, wdf1_ref,
+                         rbias_ref, v=v, cdt=cdt)
+        if staged is not None:
+            flush(staged)
+        staged = (v, cur)
+    flush(staged)
+
+    primal_ref[...] = jnp.concatenate(primal_rows, axis=0).astype(primal_ref.dtype)
+    tang_ref[...] = jnp.concatenate(tang_rows, axis=1).astype(tang_ref.dtype)
+
+
 def fused_decode_jvp_v4(
     fw: FusedDecodeWeights,
     pe: jnp.ndarray,  # [N, in_ch] f32
@@ -712,8 +810,13 @@ def fused_decode_jvp_v4t(
     block_n: int = 256,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    pipeline: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Var-major twin of fused_decode_jvp_v4: primal [6, N] + tangents [3, 6, N].
+
+    ``pipeline=True`` selects the software-pipelined kernel body
+    (``_decode_kernel_v4t_pipe``): identical math, epilogue of variable v
+    interleaved after the matmuls of variable v+1.
 
     Same math, transposed output layout: each variable's lane-major row is
     written straight to its sublane slot, skipping the per-variable
@@ -742,8 +845,12 @@ def fused_decode_jvp_v4t(
 
     mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
     full = lambda: pl.BlockSpec(memory_space=mem)
-    kernel = functools.partial(_decode_kernel_v4, block_n=block_n,
-                               n_vars=n_vars, cdt=cd, t_layout=True)
+    if pipeline:
+        kernel = functools.partial(_decode_kernel_v4t_pipe, block_n=block_n,
+                                   n_vars=n_vars, cdt=cd)
+    else:
+        kernel = functools.partial(_decode_kernel_v4, block_n=block_n,
+                                   n_vars=n_vars, cdt=cd, t_layout=True)
 
     primal, tang = pl.pallas_call(
         kernel,

@@ -49,6 +49,24 @@ def sinecos_pe(
     return emb
 
 
+def sinecos_pe_flat(
+    x: jnp.ndarray,
+    freq_bands: jnp.ndarray,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """``sinecos_pe(include_input=False)`` with the output cast fused in.
+
+    Hot-path variant for the kernel engines: the encodings only ever feed
+    compute-dtype matmuls there, so emitting ``dtype`` directly lets XLA
+    fuse the cast into the producing fusion instead of running a separate
+    pass over the lane-padded f32 form.  The trig computation itself stays
+    the stacked reference formulation — layout-flat rewrites (lane tile /
+    K=C matmul angle builds) measured slower on v5e
+    (scripts/perf_prep_variants.py, docs/PERF.md round 4 (j)).
+    """
+    return sinecos_pe(x, freq_bands, include_input=False).astype(dtype)
+
+
 class SineCosPE:
     """Stateless callable wrapper carrying the band configuration.
 

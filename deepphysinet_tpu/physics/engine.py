@@ -335,14 +335,18 @@ def fused_kernel_fields_t(
 
 
 def _kernel_inputs(model, params, tokens, coords, coord_data, fore_h, coord_spec):
+    # pe/dpe/cd_pe only ever feed compute-dtype matmuls in the kernels and
+    # their XLA twins, so the prep emits compute_dtype directly: the cast
+    # fuses into the single flat sin() pass instead of costing a separate
+    # relayout of the lane-padded f32 form (docs/PERF.md round 4 (j))
     from deepphysinet_tpu.ops.decode_kernel import extract_decode_weights, pe_and_tangents
-    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe_flat
 
     weights = extract_decode_weights(model, params, tokens, fore_h)
-    pe, dpe = pe_and_tangents(coords, coord_spec)
+    pe, dpe = pe_and_tangents(coords, coord_spec, dtype=model.compute_dtype)
     in_ch = model.net_cfg["in_channels"]
     cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)
-    cd_pe = sinecos_pe(coord_data, cd_freqs, include_input=False)
+    cd_pe = sinecos_pe_flat(coord_data, cd_freqs, dtype=model.compute_dtype)
     return weights, pe, dpe, cd_pe
 
 
