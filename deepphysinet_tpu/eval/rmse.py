@@ -5,9 +5,10 @@ The driver's accuracy target is ERA5-val RMSE parity on the surface variables
 
 * ``evaluate_rmse_fullgrid`` -- the headline number: EVERY labeled grid point
   (label_lat_size x label_lon_size) at EVERY labeled hour of each window,
-  swept with an on-device lax.scan over hours through the collapsed-algebra
-  primal decode (engine.collapsed_decode -- same function as the trainer's
-  decode, parity-tested, ~2.3x fewer matmul FLOPs).
+  swept with an on-device lax.scan over hours through the var-major
+  collapsed-algebra primal decode (engine.collapsed_decode_t -- same function
+  as the trainer's decode, parity-tested, ~2.3x fewer matmul FLOPs; on TPU a
+  primal-only Pallas kernel with [6, N] rows end-to-end).
 * ``evaluate_rmse`` -- fast subsampled estimate: per window it re-draws up to
   ``points_per_window`` of the dataset's sampled margin points through the
   plain ``PhysicsNet.decode`` (duck-typed over anything with encode/decode).
@@ -169,7 +170,8 @@ def evaluate_rmse_fullgrid(
     n_hours = window_h // lts + 1
 
     from deepphysinet_tpu.ops.interp import trilinear_interp_cube
-    from deepphysinet_tpu.physics.engine import collapsed_decode
+    from deepphysinet_tpu.physics.engine import collapsed_decode_t
+    from deepphysinet_tpu.train.point_fn import inverse_norm_stack_t
 
     lon_d = jnp.asarray(lon, jnp.float32)
     lat_d = jnp.asarray(lat, jnp.float32)
@@ -182,11 +184,11 @@ def evaluate_rmse_fullgrid(
         # cube6: [6, Hc, Wc, T] normalized coarse NWP window; the per-hour
         # conditioning values interpolate ON DEVICE inside the scan (round-2
         # VERDICT weak #5: this was 37K points x n_hours of host interpolation
-        # per window); labels_all: [T, H*W, 6] normalized
+        # per window); labels_all: [T, 6, H*W] normalized VAR-MAJOR
         tokens = model.apply(params, field, fh_norm[None, :], method=PhysicsNet.encode)
 
         def body(carry, inp):
-            t_hour, lab = inp
+            t_hour, lab_t = inp
             nwp = trilinear_interp_cube(
                 cube6, lon_d, lat_d, jnp.full_like(lon_d, t_hour),
                 lon0=in_lon0, dlon=in_dlon, lat0=in_lat0, dlat=in_dlat,
@@ -194,14 +196,16 @@ def evaluate_rmse_fullgrid(
             ).T  # [H*W, 6]
             t_sec = jnp.full_like(x_m, 3600.0) * t_hour
             coords = jnp.stack([x_m, y_m, t_sec], axis=-1)
-            out = collapsed_decode(model, params, tokens[0], coords, nwp,
-                                   fh_norm, cfg.coord_spec)
-            pred = inverse_norm_stack(out, cfg.obs_specs, with_clip=True)
-            labp = inverse_norm_stack(lab, cfg.obs_specs, with_clip=True)
+            # var-major decode (primal-only Pallas kernel on TPU): every
+            # buffer from the decode to the reduction is a [6, N] row table
+            out_t = collapsed_decode_t(model, params, tokens[0], coords, nwp,
+                                       fh_norm, cfg.coord_spec)
+            pred = inverse_norm_stack_t(out_t, cfg.obs_specs, with_clip=True)
+            labp = inverse_norm_stack_t(lab_t, cfg.obs_specs, with_clip=True)
             d = (pred - labp).astype(jnp.float32)
             # per-hour sums as scan outputs: totals reduce on the host, and
             # per_lead mode gets its skill-vs-lead curve from the same fetch
-            return carry, jnp.stack([jnp.sum(d * d, axis=0), jnp.sum(d, axis=0)])
+            return carry, jnp.stack([jnp.sum(d * d, axis=1), jnp.sum(d, axis=1)])
 
         t_hours = jnp.arange(n_hours, dtype=jnp.float32) * lts
         _, hourly = jax.lax.scan(body, 0, (t_hours, labels_all))
@@ -223,7 +227,7 @@ def evaluate_rmse_fullgrid(
         prefix, date_str, forecast_h, _ = dataset._parse_item(input_file)
         fh_norm = jnp.asarray([forecast_h / dataset.forecast_time_period], jnp.float32)
         label_cube = dataset.get_label_cube(input_file)  # [6, H, W, T] normalized
-        labels_all = np.moveaxis(label_cube.reshape(6, H * W, -1), (0, 2), (2, 0))
+        labels_all = np.moveaxis(label_cube.reshape(6, H * W, -1), 2, 0)  # [T, 6, H*W]
         cube6 = dataset._nwp_cube(input_file)  # [6, Hc, Wc, T]: ONE small
         # host->device transfer per window; interpolation happens in the jit
         hourly = np.asarray(jax.device_get(run_window(

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepphysinet_tpu.models.physics_net import PhysicsNet
-from deepphysinet_tpu.train.point_fn import inverse_norm_stack
+from deepphysinet_tpu.train.point_fn import inverse_norm_stack_t
 from deepphysinet_tpu.train import checkpoint as ckpt
 
 _VAR_KEYS = ("u", "v", "P", "T", "q", "rio")
@@ -77,16 +77,20 @@ _DECODE_CHUNK = 40960
 
 def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip,
                    chunk: int = _DECODE_CHUNK):
+    """Physical fields at arbitrary points, VAR-MAJOR: returns [6, N].
+
+    The decode runs the var-major primal path (collapsed v4 algebra, XLA
+    var-major twin -- physics/engine.py:collapsed_decode_t) and the inverse
+    normalization consumes its [6, N] rows directly, so no lane-padded
+    [N, 6] buffer appears anywhere on the inference hot path."""
     def build():
         def fn(params, tokens, x, y, t, nwp, fh_arr):
-            # collapsed v4 algebra: same function as PhysicsNet.decode at
-            # ~2.3x fewer matmul FLOPs (physics/engine.py:collapsed_decode)
-            from deepphysinet_tpu.physics.engine import collapsed_decode
+            from deepphysinet_tpu.physics.engine import collapsed_decode_t
 
             coords = jnp.stack([x, y, t], axis=-1)
-            out = collapsed_decode(model, params, tokens, coords, nwp,
-                                   fh_arr, cfg.coord_spec)
-            return inverse_norm_stack(out, cfg.obs_specs, with_clip=with_clip)
+            out_t = collapsed_decode_t(model, params, tokens, coords, nwp,
+                                       fh_arr, cfg.coord_spec)
+            return inverse_norm_stack_t(out_t, cfg.obs_specs, with_clip=with_clip)
         return fn
 
     fn = _cached_jit("decode", model,
@@ -112,7 +116,7 @@ def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip,
             ns = np.pad(ns, ((0, pad), (0, 0)), mode="edge")
         outs.append(fn(params, tokens, jnp.asarray(xs), jnp.asarray(ys),
                        jnp.asarray(ts), jnp.asarray(ns), fh_arr))
-    return jnp.concatenate(outs, axis=0)[:n]
+    return jnp.concatenate(outs, axis=1)[:, :n]
 
 
 def predict_grid(
@@ -150,7 +154,7 @@ def predict_grid(
     out: Dict[str, np.ndarray] = {}
     for i, name in enumerate(_VAR_KEYS):
         img = np.zeros((lat_size, lon_size), np.float32)
-        img[y_list, x_list] = phys[:, i]
+        img[y_list, x_list] = phys[i]
         out[name] = img
     return out
 
@@ -179,7 +183,7 @@ def predict_points(
         params, field, jnp.asarray([[fh_norm]], jnp.float32)
     )
     phys = _decode_points(model, params, cfg, tokens[0], x, y, t, nwp, fh_norm, with_clip)
-    return np.asarray(jax.device_get(phys))
+    return np.asarray(jax.device_get(phys)).T  # host-side [6, N] -> [N, 6]
 
 
 def run_inference(interface, **kwargs):

@@ -953,6 +953,135 @@ def decode_xla_v4_primal(
     return jnp.stack(cols, -1)  # [N, 6]
 
 
+def _decode_kernel_v4_primal(
+    pe_ref, cdpe_ref, ref_ref,
+    w1_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    out_ref,
+    *, n_vars: int, cdt,
+):
+    """Primal-only collapsed decode, var-major output [n_vars, Nb].
+
+    The tangent-free sibling of ``_decode_kernel_v4(t_layout=True)``: per
+    variable just the two relu-layer matmuls plus the three lane reductions
+    -- the matmul prefix/epilogue of ``_v4_var_column`` with every tangent
+    op deleted.  Forward decode only, no derivatives (reference behavior:
+    the torch model's plain forward in test/inference mode,
+    interface_physics.py:1407-1527).  Measured NEGATIVE vs the XLA twin for
+    this forward-only op (docs/PERF.md round 4 (k)) -- kept as a selectable,
+    parity-tested variant behind engine.collapsed_decode_t(use_kernel=True);
+    the shipping inference/eval paths use the XLA var-major form."""
+    f32 = jnp.float32
+    P_in = pe_ref[...]  # [Nb, in_ch] cdt
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+    CD32 = CD.astype(f32)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    rows = []
+    for v in range(n_vars):
+        z = dot(P_in, w1_ref[v]) + b1_ref[v][None, :]
+        p = jnp.maximum(z, 0.0)  # [Nb, hid] f32
+        rp = dot(p.astype(cdt), w2f1_ref[v]) + dot(CD, wdf1_ref[v]) + rbias_ref[v][None, :]
+        pr = jnp.maximum(rp, 0.0)
+        o = (
+            jnp.sum(pr * fw2_ref[v][None, :].astype(f32), axis=-1)
+            + 2.0 * (jnp.sum(p * w2wo_ref[v][None, :].astype(f32), axis=-1)
+                     + jnp.sum(CD32 * wdwo_ref[v][None, :].astype(f32), axis=-1))
+            + obias_ref[v]
+            + ref_ref[v]
+        )  # [Nb]
+        rows.append(o[None, :])
+    out_ref[...] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
+
+
+def decode_primal_v4t(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,  # [N, in_ch] f32
+    cd_pe: jnp.ndarray,  # [N, in_ch] f32
+    ref_t: jnp.ndarray,  # [6, N] TRANSPOSED conditioning values
+    block_n: int = 512,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Var-major primal-only Pallas decode: [6, N] normalized outputs.
+
+    The kernel twin of ``decode_xla_v4_primal`` (same collapsed algebra, no
+    tangents) in the round-4 var-major IO layout; forward-only by policy,
+    like the XLA form.  With no tangent buffers the per-block VMEM footprint
+    is small, so the default block is 512 (vs 256 for the jvp kernels)."""
+    n, in_ch = pe.shape
+    n_vars = fw.w1.shape[0]
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        ref_t = jnp.pad(ref_t, ((0, 0), (0, pad)))
+    n_pad = pe.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1.astype(cd), fw.b1.astype(f32),
+          fw.w2f1.astype(cd), fw.wdf1.astype(cd), fw.rbias.astype(f32),
+          fw.fw2.astype(f32), fw.w2wo.astype(f32), fw.wdwo.astype(f32),
+          fw.obias.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(_decode_kernel_v4_primal, n_vars=n_vars, cdt=cd)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((n_vars, n_pad), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((n_vars, block_n), lambda i: (0, i), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=pl.BlockSpec((n_vars, block_n), lambda i: (0, i),
+                               memory_space=mem),
+        interpret=interpret,
+    )(pe.astype(cd), cd_pe.astype(cd), ref_t.astype(jnp.float32), *wt)
+    return out[:, :n]
+
+
+def decode_xla_v4t_primal(
+    fw: FusedDecodeWeights,
+    pe: jnp.ndarray,  # [N, in_ch]
+    cd_pe: jnp.ndarray,  # [N, in_ch]
+    ref_t: jnp.ndarray,  # [6, N]
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """XLA twin of ``decode_primal_v4t``: [6, N] var-major, plain jnp.
+
+    Row-for-row the same math as ``decode_xla_v4_primal`` with the output
+    stacked on axis 0 instead of -1 (the CPU / non-TPU fallback behind
+    ``engine.collapsed_decode_t``)."""
+    cdt = compute_dtype
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jnp.einsum("...i,io->...o", a.astype(cdt), w.astype(cdt),
+                          preferred_element_type=f32)
+
+    rows = []
+    for v in range(fw.w1.shape[0]):
+        p = jnp.maximum(dot(pe, fw.w1[v]) + fw.b1[v], 0.0)
+        r = dot(p, fw.w2f1[v]) + dot(cd_pe, fw.wdf1[v]) + fw.rbias[v]
+        pr = jnp.maximum(r, 0.0)
+        o = (jnp.sum(pr * fw.fw2[v], -1)
+             + 2.0 * (jnp.sum(p * fw.w2wo[v], -1)
+                      + jnp.sum(cd_pe.astype(f32) * fw.wdwo[v], -1))
+             + fw.obias[v] + ref_t[v])
+        rows.append(o)
+    return jnp.stack(rows, 0)  # [6, N]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_decode_jvp_trainable_v4(fw, pe, dpe, cd_pe, ref,
                                   block_n=256, compute_dtype=jnp.bfloat16):

@@ -538,6 +538,42 @@ def collapsed_decode(
     return decode_xla_v4_primal(fw, pe, cd_pe, coord_data, model.compute_dtype)
 
 
+def collapsed_decode_t(
+    model,
+    params,
+    tokens: jnp.ndarray,  # [T, D]
+    coords: jnp.ndarray,  # [N, 3] physical
+    coord_data: jnp.ndarray,  # [N, 6] normalized conditioning values
+    fore_h: jnp.ndarray,  # [1]
+    coord_spec,
+    use_kernel: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Var-major primal decode [6, N]: ``collapsed_decode`` with row output.
+
+    Same collapsed v4 algebra; by default the XLA var-major twin
+    (``decode_xla_v4t_primal``) -- measured IDENTICAL to the [N, 6] XLA form
+    on TPU (0.900 vs 0.900 ms per 37265-pt grid frame) while handing the
+    inference sweeps (predict_grid/predict_points) and the full-grid RMSE
+    scan full lane-major rows with no minor-dim-6 buffer.  The primal-only
+    Pallas kernel (``decode_primal_v4t``, ``use_kernel=True``) is a measured
+    NEGATIVE for this forward-only op -- 1.131 ms @ block 512 / 1.192 @ 1024
+    / VMEM-OOM @ 2048 (docs/PERF.md round 4 (k)): at ~2 MFLOP/pt with no
+    tangent reuse there is nothing for manual blocking to win back, and XLA
+    schedules the 6 small per-variable matmuls better.  Kept selectable and
+    parity-tested.  Forward-only by policy like ``collapsed_decode``."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_primal_v4t, decode_xla_v4t_primal, fuse_decode_weights)
+    weights, pe, _dpe, cd_pe = _kernel_inputs(
+        model, params, tokens, coords, coord_data, fore_h, coord_spec)
+    fw = fuse_decode_weights(weights)
+    ref_t = jax.lax.stop_gradient(coord_data).T
+    if use_kernel:
+        return decode_primal_v4t(fw, pe, cd_pe, ref_t, interpret=interpret,
+                                 compute_dtype=model.compute_dtype)
+    return decode_xla_v4t_primal(fw, pe, cd_pe, ref_t, model.compute_dtype)
+
+
 # Round-3 measured a crossover at 49152 points where the in-kernel residual
 # assembly (ops/residual_kernel.py) overtook the split path: the split's
 # [3, N, 6] tangent round-trip is 21x lane-padded in HBM, which made it fall

@@ -42,6 +42,27 @@ def inverse_norm_stack(
     return jnp.concatenate(cols, axis=-1)
 
 
+def inverse_norm_stack_t(
+    out_norm_t: jnp.ndarray,  # [6, N] var-major normalized model outputs
+    obs_specs: Sequence[NormSpec],  # in OBS_NAME_ORDER
+    with_clip: bool,
+) -> jnp.ndarray:
+    """Var-major twin of ``inverse_norm_stack``: [6, N] in, [6, N] physical out.
+
+    Consumes the var-major decode kernel's layout directly (each variable is
+    a full lane-major row), so the forward-only inference/eval paths never
+    materialize a lane-padded minor-dim-6 buffer.  Same per-variable math
+    (mean_norm inverse + torch.clip semantics, u/v never clipped)."""
+    rows = []
+    for i, spec in enumerate(obs_specs):
+        clip = with_clip and _CLIPPED[i]
+        # inverse_normalize is elementwise with scalar factors, so it applies
+        # to a [1, N] row exactly as it does to an [N, 1] column
+        rows.append(inverse_normalize(out_norm_t[i : i + 1, :], spec,
+                                      with_clip=clip))
+    return jnp.concatenate(rows, axis=0)
+
+
 def make_phys_fn(
     model: PhysicsNet,
     params,

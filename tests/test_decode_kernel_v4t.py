@@ -113,3 +113,96 @@ def test_cpu_fallback_matches_interpret(inputs):
                                          BLOCK, jnp.bfloat16, False)
     assert jnp.allclose(p_k, p_x, atol=5e-2, rtol=5e-2)
     assert jnp.allclose(t_k, t_x, atol=5e-2, rtol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Primal-only var-major decode (the forward inference/eval hot op)
+# ---------------------------------------------------------------------------
+
+def test_primal_kernel_matches_xla_twin(inputs):
+    """decode_primal_v4t (interpret) == decode_xla_v4t_primal == v4 primal.T."""
+    from deepphysinet_tpu.ops.decode_kernel import (
+        decode_primal_v4t, decode_xla_v4_primal, decode_xla_v4t_primal)
+
+    fw, pe, _dpe, cd_pe, ref = inputs
+    p_k = decode_primal_v4t(fw, pe, cd_pe, ref.T, block_n=BLOCK,
+                            interpret=True, compute_dtype=jnp.float32)
+    p_t = decode_xla_v4t_primal(fw, pe, cd_pe, ref.T, jnp.float32)
+    p_4 = decode_xla_v4_primal(fw, pe, cd_pe, ref, jnp.float32)
+    assert p_k.shape == (NV, N)
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_t),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_4).T,
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_primal_kernel_is_jvp_primal(inputs):
+    """The primal-only kernel reproduces the training kernel's primal rows."""
+    from deepphysinet_tpu.ops.decode_kernel import decode_primal_v4t
+
+    fw, pe, dpe, cd_pe, ref = inputs
+    p_jvp, _t = fused_decode_jvp_v4t(fw, pe, dpe, cd_pe, ref.T,
+                                     block_n=BLOCK, interpret=True)
+    p_prim = decode_primal_v4t(fw, pe, cd_pe, ref.T, block_n=BLOCK,
+                               interpret=True)
+    assert jnp.array_equal(p_prim, p_jvp)
+
+
+def test_collapsed_decode_t_matches_collapsed_decode():
+    """Engine level: collapsed_decode_t == collapsed_decode.T (both backends)."""
+    from deepphysinet_tpu.models.physics_net import PhysicsNet
+    from deepphysinet_tpu.ops.coords import CoordSpec
+    from deepphysinet_tpu.physics.engine import (
+        collapsed_decode, collapsed_decode_t)
+
+    rng = np.random.RandomState(3)
+    meta = dict(enc_in=65, c_out=256, d_model=256, n_heads=4, e_layers=1,
+                d_ff=64, activation="gelu", learnable_token_num=8)
+    net = dict(in_channels=192, hidden_channels=256, learnable_token_num=16)
+    coord = CoordSpec(lon_size=257, lat_size=145, dx=27000.0, dy=27000.0,
+                      pred_t_span=86400.0)
+    model = PhysicsNet(meta_cfg=meta, net_cfg=net)
+    field = jnp.asarray(rng.randn(1, 12, 65), jnp.float32)
+    fh = jnp.array([[0.1]])
+    params = model.init(jax.random.PRNGKey(0), field, jnp.ones((4, 192)),
+                        jnp.ones((4, 6)), fh)
+    tokens = model.apply(params, field, fh, method=PhysicsNet.encode)[0]
+
+    n = 200  # non-multiple of the kernel block: tests padding + trim
+    coords = jnp.asarray(
+        np.stack([rng.rand(n) * 27000 * 256, rng.rand(n) * 27000 * 144,
+                  rng.randint(0, 25, n) * 3600.0], -1), jnp.float32)
+    coord_data = jnp.asarray(rng.randn(n, 6) * 0.1, jnp.float32)
+    fore_h = jnp.array([0.1], jnp.float32)
+
+    ref = collapsed_decode(model, params, tokens, coords, coord_data,
+                           fore_h, coord)
+    got_x = collapsed_decode_t(model, params, tokens, coords, coord_data,
+                               fore_h, coord, use_kernel=False)
+    got_k = collapsed_decode_t(model, params, tokens, coords, coord_data,
+                               fore_h, coord, use_kernel=True, interpret=True)
+    assert got_x.shape == (6, n) and got_k.shape == (6, n)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(ref).T,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(ref).T,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_inverse_norm_stack_t_matches():
+    """inverse_norm_stack_t([6,N]) == inverse_norm_stack([N,6]).T exactly."""
+    from deepphysinet_tpu.ops.normalization import (
+        OBS_NAME_ORDER, norm_specs_from_cfg)
+    from deepphysinet_tpu.train.point_fn import (
+        inverse_norm_stack, inverse_norm_stack_t)
+    from tests.test_train_step import OBS_CFG
+
+    specs = norm_specs_from_cfg(OBS_CFG)
+    obs_specs = tuple(specs[k] for k in OBS_NAME_ORDER)
+    rng = np.random.RandomState(5)
+    # large magnitudes so the clip bounds actually engage for pres/t2/q2/rio
+    out = jnp.asarray(rng.randn(6, 97) * 40.0, jnp.float32)
+    for with_clip in (False, True):
+        a = inverse_norm_stack_t(out, obs_specs, with_clip=with_clip)
+        b = inverse_norm_stack(out.T, obs_specs, with_clip=with_clip)
+        assert a.shape == (6, 97)
+        assert jnp.array_equal(a, b.T), f"with_clip={with_clip}"
