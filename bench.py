@@ -125,7 +125,7 @@ def main() -> None:
             return fused_residual_losses(
                 model, params, tokens[0], coords, nwp, fh_norm, f,
                 step_cfg.coord_spec, step_cfg.obs_specs, factors,
-                with_clip=True)["total"]
+                with_clip=True, version=step_cfg.kernel_version)["total"]
         phys_fn = make_phys_fn(model, params, tokens[0], nwp, fh_norm,
                                step_cfg.coord_spec, step_cfg.obs_specs, with_clip=True)
         return pde_residual_losses(phys_fn, coords, f, factors)["total"]

@@ -139,7 +139,11 @@ class InterfacePhysics:
         # and the ~1 ms/step gather-latency floor disappears (docs/PERF.md
         # round-3 (i)/(j)).
         self.ds_sampler = str(tpu_cfg.get("ds_sampler", "iid"))
-        self.kernel_version = int(tpu_cfg.get("kernel_version", 4))
+        self.kernel_version = int(tpu_cfg.get("kernel_version", 7))
+        # device-mode validation at every log step (True, the default) --
+        # set False for control soaks isolating the train loop's own
+        # throughput from the validation dispatch (docs/PERF.md round 5)
+        self.device_valid = bool(tpu_cfg.get("device_valid", True))
         self.packed_assembly = bool(tpu_cfg.get("packed_assembly", True))
         self.ckpt_backend = str(tpu_cfg.get("ckpt_backend", "pickle"))
         # Persistent XLA compilation cache: resumes (preemption restarts,
@@ -956,6 +960,7 @@ class InterfacePhysics:
             return sub
 
         time_metric = TimeMetric()
+        loop_metric = TimeMetric()  # never reset: wall-clock anchor for t:
         steps_since_log = 0
         preempted = {"flag": False}
         self._install_preemption_handler(preempted)
@@ -1069,19 +1074,24 @@ class InterfacePhysics:
                         # collective sharded eval EVERY rank must enter
                         # (the log condition is lockstep); rank 0 logs.
                         vm_arrays = None
-                        if len(valid_dataset) > 0 and nproc == 1:
+                        if (self.device_valid and len(valid_dataset) > 0
+                                and nproc == 1):
                             vm_arrays = self._device_mode_validation(
                                 valid_dataset, cfg, scfg, state, with_pde,
                                 fetch=False)
-                        elif (nproc > 1 and mesh is not None
+                        elif (self.device_valid and nproc > 1
+                              and mesh is not None
                               and len(valid_dataset) >= mesh.shape["data"]):
                             vm_arrays = self._device_mode_validation_dist(
                                 valid_dataset, cfg, scfg, state, with_pde,
                                 mesh, nproc, rank)
                     if do_log and is_main:
 
+                        elapsed = loop_metric.get_time()
+
                         def log_job(metrics=metrics, vm_arrays=vm_arrays,
-                                    epoch=epoch, global_step=global_step, fps=fps):
+                                    epoch=epoch, global_step=global_step,
+                                    fps=fps, elapsed=elapsed):
                             # the WHOLE job is fetch-tolerant: a one-off tunnel
                             # error on either the training- or validation-metric
                             # fetch must not latch in AsyncWorker and kill a
@@ -1096,7 +1106,8 @@ class InterfacePhysics:
                                     f"iter:{global_step},"
                                     f"train loss:{m['total_loss']:.6f},"
                                     f"margin:{m['margin_loss']:.6f},"
-                                    f"grad:{m['grad_norm']:.3e},fps:{fps:.3f}")
+                                    f"grad:{m['grad_norm']:.3e},fps:{fps:.3f},"
+                                    f"t:{elapsed:.1f}s")
                             print(line)
                             log_fp.write(line + "\n")
                             log_fp.flush()

@@ -2319,3 +2319,404 @@ def _fused_v6_kbwd_bwd(block_n, compute_dtype, interpret, res, g):
 
 
 fused_decode_jvp_v6_kbwd.defvjp(_fused_v6_kbwd_fwd, _fused_v6_kbwd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v4s (kernel_version=7): dpe-free var-major decode.
+#
+# The v6 experiment (round 4 (a)) showed the FOLD is sound (PE derivative
+# absorbed into per-window weights, no dpe array) but its kernel regressed
+# because it split the primal into three K=2F matmuls (padded 3x128 K-tiles
+# vs v4's 2).  v4s keeps v6's folded weights (fuse_v6_from_v4) and restores
+# v4's single wide-K primal pass: the per-point operand is the CHANNEL-MAJOR
+# trig row [N, 3*2F] (trig_cm_inputs), the primal consumes the whole row
+# through the permuted layer-1 weights (one K=192 matmul), and direction-k's
+# tangent matmul consumes the contiguous 2F-lane block k of the SAME operand
+# through the swap/sign/fb/scale-folded tangent weights.  MXU slot count is
+# identical to v4/v4t; the dpe input stream ([3, N, 2F]) and its prep
+# (dsin/dcos multiplies + stack + moveaxis) disappear entirely.
+# ---------------------------------------------------------------------------
+
+
+def trig_cm_inputs(coords: jnp.ndarray, coord_spec, dtype=jnp.float32) -> jnp.ndarray:
+    """Channel-major trig operand [N, 3*2F] for the v4s kernels.
+
+    Block c (lanes ``c*2F : (c+1)*2F``) holds ``[sin(fb * cn_c) | cos(fb *
+    cn_c)]`` (fn-grouped, matching ``channel_major_perm``'s row order).  This
+    is the ONLY per-point prep v4s needs: compare ``pe_and_tangents``, whose
+    dpe branch costs two extra [N, F, 3] multiplies plus a stack + moveaxis
+    + reshape and a second [3, N, 2F] HBM stream into the kernel.
+    """
+    scales = coord_scales(coord_spec)
+    fb = jnp.asarray(coord_spec.freq_bands(), jnp.float32)  # [F]
+    cn = coords.astype(jnp.float32) * scales  # [N, 3]
+    xf = cn[:, :, None] * fb  # [N, 3, F]
+    out = jnp.concatenate([jnp.sin(xf), jnp.cos(xf)], axis=-1)  # [N, 3, 2F]
+    return out.reshape(cn.shape[0], -1).astype(dtype)
+
+
+def _decode_kernel_v4s(
+    pe_ref, cdpe_ref, ref_ref,
+    w1g_ref, w1t_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref, obias_ref,
+    primal_ref, tang_ref,
+    *, block_n: int, n_vars: int, cdt, two_f: int,
+):
+    """v4s: var-major collapsed decode from the channel-major trig operand.
+
+    Identical MXU slot count to ``_decode_kernel_v4(t_layout=True)``: one
+    K=3*2F primal matmul (``w1g`` flattened to [in_ch, hid] rows by the
+    wrapper) plus three K=2F tangent matmuls whose inputs are contiguous
+    lane slices of the ALREADY-LOADED primal operand -- the fold
+    d/dcn sin(f cn) = f cos(f cn) turns the dpe operand into a swap/scale
+    of pe, absorbed into ``w1t`` at fuse time (fuse_v6_from_v4).
+    """
+    P_in = pe_ref[...]  # [Nb, 3*2F] cdt, channel-major
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    primal_rows, tang_rows = [], []
+    for v in range(n_vars):
+        z = dot(P_in, w1g_ref[v]) + b1_ref[v][None, :]
+        mask = z > 0
+        p = jnp.maximum(z, 0.0)
+        t16 = jnp.concatenate(
+            [jnp.where(mask,
+                       dot(P_in[:, k * two_f:(k + 1) * two_f], w1t_ref[v, k]),
+                       0.0).astype(cdt)
+             for k in range(3)], axis=0)  # [3Nb, hid]
+        o, to3 = _v4_epilogue(
+            p, t16, CD, ref_ref[v],
+            w2f1_ref[v], wdf1_ref[v], rbias_ref[v], fw2_ref[v], w2wo_ref[v],
+            wdwo_ref[v], obias_ref[v], block_n=block_n, cdt=cdt,
+        )
+        primal_rows.append(o[None, :])  # [1, Nb] lane-major row
+        tang_rows.append(to3[:, None, :])  # [3, 1, Nb]
+
+    primal_ref[...] = jnp.concatenate(primal_rows, axis=0).astype(primal_ref.dtype)
+    tang_ref[...] = jnp.concatenate(tang_rows, axis=1).astype(tang_ref.dtype)
+
+
+def fused_decode_jvp_v4s(
+    fw: FusedDecodeWeightsV6,
+    pe_cm: jnp.ndarray,  # [N, 3*2F] channel-major trig (trig_cm_inputs)
+    cd_pe: jnp.ndarray,  # [N, in_ch]
+    ref_t: jnp.ndarray,  # [6, N] TRANSPOSED conditioning values
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Primal [6, N] + tangents [3, 6, N] via the dpe-free v4s kernel."""
+    n, in_ch = pe_cm.shape
+    n_vars, _, two_f, hid = fw.w1t.shape
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe_cm = jnp.pad(pe_cm, ((0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        ref_t = jnp.pad(ref_t, ((0, 0), (0, pad)))
+    n_pad = pe_cm.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1g.reshape(n_vars, in_ch, hid).astype(cd), fw.w1t.astype(cd),
+          fw.b1.astype(f32), fw.w2f1.astype(cd), fw.wdf1.astype(cd),
+          fw.rbias.astype(f32), fw.fw2.astype(f32), fw.w2wo.astype(f32),
+          fw.wdwo.astype(f32), fw.obias.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    kernel = functools.partial(_decode_kernel_v4s, block_n=block_n,
+                               n_vars=n_vars, cdt=cd, two_f=two_f)
+
+    primal, tang = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_vars, n_pad), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((n_vars, block_n), lambda i: (0, i), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            pl.BlockSpec((n_vars, block_n), lambda i: (0, i), memory_space=mem),
+            pl.BlockSpec((3, n_vars, block_n), lambda i: (0, 0, i), memory_space=mem),
+        ),
+        interpret=interpret,
+    )(pe_cm.astype(cd), cd_pe.astype(cd), ref_t.astype(jnp.float32), *wt)
+    return primal[:, :n], tang[:, :, :n]
+
+
+def decode_jvp_xla_v4s(
+    fw: FusedDecodeWeightsV6,
+    pe_cm: jnp.ndarray,  # [N, 3*2F] channel-major trig
+    cd_pe: jnp.ndarray,
+    ref_t: jnp.ndarray,  # [6, N]
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA twin of the v4s kernel: identical collapsed math, plain jnp.
+
+    Fully differentiable -- the CPU fallback and the gradient reference for
+    the fused backward kernel's tests.  Returns var-major ([6, N], [3, 6, N]).
+    """
+    cdt = compute_dtype
+    f32 = jnp.float32
+    n, in_ch = pe_cm.shape
+    n_vars, _, two_f, hid = fw.w1t.shape
+
+    def dots(a, w):  # [N, K] x [V, K, H] -> [V, N, H], f32 accumulation
+        return jnp.einsum("nk,vkh->vnh", a.astype(cdt), w.astype(cdt),
+                          preferred_element_type=f32)
+
+    def bdots(a, w):  # [V, N, K] x [V, K, H] -> [V, N, H]
+        return jnp.einsum("vnk,vkh->vnh", a.astype(cdt), w.astype(cdt),
+                          preferred_element_type=f32)
+
+    z = dots(pe_cm, fw.w1g.reshape(n_vars, in_ch, hid)) + fw.b1[:, None, :]
+    mask = z > 0
+    p = jnp.maximum(z, 0.0)  # [V, N, hid]
+    t = jnp.stack(
+        [jnp.where(mask, dots(pe_cm[:, k * two_f:(k + 1) * two_f], fw.w1t[:, k]),
+                   0.0)
+         for k in range(3)], axis=0)  # [3, V, N, hid]
+
+    rp = bdots(p, fw.w2f1) + dots(cd_pe, fw.wdf1) + fw.rbias[:, None, :]
+    maskr = rp > 0
+    pr = jnp.maximum(rp, 0.0)
+    tr = jnp.where(maskr[None],
+                   jnp.stack([bdots(t[k], fw.w2f1) for k in range(3)], axis=0),
+                   0.0)  # [3, V, N, hid]
+
+    o = (jnp.sum(pr * fw.fw2[:, None, :].astype(f32), axis=-1)
+         + 2.0 * (jnp.sum(p * fw.w2wo[:, None, :].astype(f32), axis=-1)
+                  + jnp.einsum("nk,vk->vn", cd_pe.astype(f32), fw.wdwo.astype(f32)))
+         + fw.obias[:, None]
+         + ref_t)  # [V, N]
+    to = (jnp.sum(tr * fw.fw2[None, :, None, :].astype(f32), axis=-1)
+          + 2.0 * jnp.sum(t * fw.w2wo[None, :, None, :].astype(f32), axis=-1))
+    return o, to  # [V, N], [3, V, N]
+
+
+def _decode_bwd_kernel_v4s(
+    pe_ref, cdpe_ref, go_ref, gto_ref,
+    w1g_ref, w1t_ref, b1_ref, w2f1_ref, wdf1_ref, rbias_ref,
+    fw2_ref, w2wo_ref, wdwo_ref,
+    gw1g_ref, gw1t_ref, gb1_ref, gw2f1_ref, gwdf1_ref, grbias_ref,
+    gfw2_ref, gw2wo_ref, gwdwo_ref,
+    *, block_n: int, n_vars: int, cdt, two_f: int,
+):
+    """Backward of the v4s decode wrt the fused weights (recompute-in-VMEM).
+
+    Mirror of ``_decode_bwd_kernel_v4(t_layout=True)`` with the channel-major
+    trig operand feeding both the primal (flattened ``w1g``) and, via its
+    contiguous lane slices, the tangent (``w1t``) layer-1 cotangents --
+    no dpe input to load or store as a residual.
+    """
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    P_in = pe_ref[...]  # [Nb, 3*2F] cdt channel-major
+    CD = cdpe_ref[...]  # [Nb, in_ch] cdt
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (gw1g_ref, gw1t_ref, gb1_ref, gw2f1_ref, gwdf1_ref,
+                    grbias_ref, gfw2_ref, gw2wo_ref, gwdwo_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w.astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def dot_t(a, b):  # a^T @ b, contracting the row (point) axis
+        return jax.lax.dot_general(
+            a.astype(cdt), b.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def dot_wt(g, w):  # g @ w^T
+        return jax.lax.dot_general(
+            g.astype(cdt), w.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    T_sl = [P_in[:, k * two_f:(k + 1) * two_f] for k in range(3)]
+    # var-major cotangents -> column form in VMEM (~6x256 values, negligible)
+    gp_t = go_ref[...].T  # [Nb, n_vars]
+    gt_t = [gto_ref[k].T for k in range(3)]  # each [Nb, n_vars]
+
+    for v in range(n_vars):
+        # ---- recompute the forward chain ----
+        z = dot(P_in, w1g_ref[v]) + b1_ref[v][None, :]
+        mask = z > 0
+        p = jnp.maximum(z, 0.0)
+        mask3 = jnp.concatenate([mask, mask, mask], axis=0)
+        tz = jnp.concatenate(
+            [dot(T_sl[k], w1t_ref[v, k]) for k in range(3)], axis=0)
+        t = jnp.where(mask3, tz, 0.0)  # [3Nb, hid]
+        W = w2f1_ref[v]
+        rp = dot(p, W) + dot(CD, wdf1_ref[v]) + rbias_ref[v][None, :]
+        maskr = rp > 0
+        pr = jnp.maximum(rp, 0.0)
+        maskr3 = jnp.concatenate([maskr, maskr, maskr], axis=0)
+        tr = jnp.where(maskr3, dot(t, W), 0.0)
+
+        # ---- backward ----
+        go = gp_t[:, v : v + 1]  # [Nb, 1] f32
+        gto = jnp.concatenate(
+            [gt_t[k][:, v : v + 1] for k in range(3)], axis=0)  # [3Nb, 1]
+        a_v = fw2_ref[v][None, :]  # [1, hid]
+        b_v = w2wo_ref[v][None, :]
+
+        g_rp = jnp.where(maskr, go * a_v, 0.0)  # [Nb, hid]
+        g_rt = jnp.where(maskr3, gto * a_v, 0.0)  # [3Nb, hid]
+
+        gfw2_ref[v] += jnp.sum(pr * go, axis=0) + jnp.sum(tr * gto, axis=0)
+        gw2wo_ref[v] += 2.0 * (jnp.sum(p * go, axis=0) + jnp.sum(t * gto, axis=0))
+        gwdwo_ref[v] += 2.0 * jnp.sum(CD.astype(f32) * go, axis=0)
+        # g_obias = sum(go): scalar per variable, computed by the caller
+        grbias_ref[v] += jnp.sum(g_rp, axis=0)
+
+        gw2f1_ref[v] += dot_t(p, g_rp) + dot_t(t, g_rt)
+        gwdf1_ref[v] += dot_t(CD, g_rp)
+
+        g_p = dot_wt(g_rp, W) + 2.0 * (go * b_v)
+        g_t = dot_wt(g_rt, W) + 2.0 * (gto * b_v)
+        g_z = jnp.where(mask, g_p, 0.0)
+        g_tz = jnp.where(mask3, g_t, 0.0)
+
+        gw1g_ref[v] += dot_t(P_in.astype(f32), g_z)
+        gb1_ref[v] += jnp.sum(g_z, axis=0)
+        for k in range(3):
+            gw1t_ref[v, k] += dot_t(
+                T_sl[k].astype(f32), g_tz[k * block_n : (k + 1) * block_n])
+
+
+def decode_bwd_kernel_v4s(
+    fw: FusedDecodeWeightsV6,
+    pe_cm: jnp.ndarray,  # [N, 3*2F]
+    cd_pe: jnp.ndarray,
+    g_primal_t: jnp.ndarray,  # [6, N] f32 var-major
+    g_tang_t: jnp.ndarray,  # [3, 6, N] f32 var-major
+    block_n: int = 256,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
+) -> FusedDecodeWeightsV6:
+    """Weight cotangents of fused_decode_jvp_v4s (obias slot carries g_obias)."""
+    n, in_ch = pe_cm.shape
+    n_vars, _, two_f, hid = fw.w1t.shape
+    if n % block_n != 0:
+        pad = block_n - n % block_n
+        pe_cm = jnp.pad(pe_cm, ((0, pad), (0, 0)))
+        cd_pe = jnp.pad(cd_pe, ((0, pad), (0, 0)))
+        # zero cotangents on padded points -> no gradient contribution
+        g_primal_t = jnp.pad(g_primal_t, ((0, 0), (0, pad)))
+        g_tang_t = jnp.pad(g_tang_t, ((0, 0), (0, 0), (0, pad)))
+    n_pad = pe_cm.shape[0]
+    grid = (n_pad // block_n,)
+
+    cd = compute_dtype
+    f32 = jnp.float32
+    wt = [fw.w1g.reshape(n_vars, in_ch, hid).astype(cd), fw.w1t.astype(cd),
+          fw.b1.astype(f32), fw.w2f1.astype(cd), fw.wdf1.astype(cd),
+          fw.rbias.astype(f32), fw.fw2.astype(f32), fw.w2wo.astype(f32),
+          fw.wdwo.astype(f32)]
+
+    mem = pltpu.VMEM if _HAS_PLTPU else pl.ANY
+    full = lambda: pl.BlockSpec(memory_space=mem)
+    acc = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=mem)
+    kernel = functools.partial(_decode_bwd_kernel_v4s, block_n=block_n,
+                               n_vars=n_vars, cdt=cd, two_f=two_f)
+    extra = {}
+    if vmem_limit_bytes and _HAS_PLTPU and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_vars, in_ch, hid), f32),  # g_w1g (flat)
+            jax.ShapeDtypeStruct((n_vars, 3, two_f, hid), f32),  # g_w1t
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_b1
+            jax.ShapeDtypeStruct((n_vars, hid, hid), f32),  # g_w2f1
+            jax.ShapeDtypeStruct((n_vars, in_ch, hid), f32),  # g_wdf1
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_rbias
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_fw2
+            jax.ShapeDtypeStruct((n_vars, hid), f32),  # g_w2wo
+            jax.ShapeDtypeStruct((n_vars, in_ch), f32),  # g_wdwo
+        ),
+        in_specs=[
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((block_n, in_ch), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((n_vars, block_n), lambda i: (0, i), memory_space=mem),
+            pl.BlockSpec((3, n_vars, block_n), lambda i: (0, 0, i), memory_space=mem),
+        ] + [full() for _ in wt],
+        out_specs=(
+            acc(n_vars, in_ch, hid), acc(n_vars, 3, two_f, hid), acc(n_vars, hid),
+            acc(n_vars, hid, hid), acc(n_vars, in_ch, hid), acc(n_vars, hid),
+            acc(n_vars, hid), acc(n_vars, hid), acc(n_vars, in_ch),
+        ),
+        interpret=interpret,
+        **extra,
+    )(pe_cm.astype(cd), cd_pe.astype(cd),
+      g_primal_t.astype(f32), g_tang_t.astype(f32), *wt)
+    return FusedDecodeWeightsV6(
+        w1g=outs[0].reshape(n_vars, 3, two_f, hid), w1t=outs[1], b1=outs[2],
+        w2f1=outs[3], wdf1=outs[4], rbias=outs[5], fw2=outs[6], w2wo=outs[7],
+        wdwo=outs[8], obias=jnp.sum(g_primal_t[:, :n], axis=1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_decode_jvp_v4s_kbwd(fw, pe_cm, cd_pe, ref_t,
+                              block_n=256, compute_dtype=jnp.bfloat16,
+                              interpret=False):
+    """v4s decode with Pallas kernels on BOTH passes (training hot path).
+
+    Var-major ([6, N] / [3, 6, N]) outputs; same gradient contract as
+    ``fused_decode_jvp_v4t_kbwd``: exact cotangents for the fused weights
+    and ``ref_t``, zeros for pe_cm/cd_pe (data inputs in the training
+    engine).  ``interpret=True`` forces the REAL Pallas kernels in interpret
+    mode on any backend; otherwise off-TPU falls back to the XLA twin.
+    """
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
+        return fused_decode_jvp_v4s(fw, pe_cm, cd_pe, ref_t,
+                                    block_n=block_n, compute_dtype=compute_dtype,
+                                    interpret=interpret)
+    return decode_jvp_xla_v4s(fw, pe_cm, cd_pe, ref_t, compute_dtype)
+
+
+def _fused_v4s_kbwd_fwd(fw, pe_cm, cd_pe, ref_t, block_n, compute_dtype,
+                        interpret):
+    out = fused_decode_jvp_v4s_kbwd(fw, pe_cm, cd_pe, ref_t, block_n,
+                                    compute_dtype, interpret)
+    return out, (fw, pe_cm, cd_pe)
+
+
+def _fused_v4s_kbwd_bwd(block_n, compute_dtype, interpret, res, g):
+    fw, pe_cm, cd_pe = res
+    g_primal_t, g_tang_t = g
+    if interpret or (_HAS_PLTPU and jax.default_backend() == "tpu"):
+        gfw = decode_bwd_kernel_v4s(fw, pe_cm, cd_pe, g_primal_t, g_tang_t,
+                                    block_n=block_n, compute_dtype=compute_dtype,
+                                    interpret=interpret)
+    else:
+        # CPU fallback: the twin's VJP, projected onto the weight cotangents
+        zeros_ref = jnp.zeros_like(g_primal_t)
+        _, vjp = jax.vjp(
+            lambda w: decode_jvp_xla_v4s(w, pe_cm, cd_pe, zeros_ref,
+                                         compute_dtype), fw)
+        (gfw,) = vjp((g_primal_t, g_tang_t))
+    g_ref_t = g_primal_t  # o = ... + ref (identity head)
+    return (gfw, jnp.zeros_like(pe_cm), jnp.zeros_like(cd_pe), g_ref_t)
+
+
+fused_decode_jvp_v4s_kbwd.defvjp(_fused_v4s_kbwd_fwd, _fused_v4s_kbwd_bwd)

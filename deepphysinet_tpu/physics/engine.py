@@ -313,6 +313,7 @@ def fused_kernel_fields_t(
     fore_h: jnp.ndarray,  # [1]
     coord_spec,
     interpret: bool = False,
+    version: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Var-major trainable decode: ``(primal_t [6, N], tang_t [3, 6, N])``.
 
@@ -322,10 +323,23 @@ def fused_kernel_fields_t(
     consume kernel outputs directly — no lane-padded [N, 6] buffer on the
     grad path (docs/PERF.md round 4 (e)).  The only [N, 6]-layout op left is
     the forward-only transpose of the stop-gradient'd conditioning values.
+
+    ``version=7`` selects the dpe-free v4s kernel pair: the channel-major
+    trig operand feeds primal AND tangent layer-1 matmuls (PE derivative
+    folded into the per-window weights, fuse_v6_from_v4), deleting the dpe
+    prep + input stream at identical MXU cost (docs/PERF.md round 5).
     """
     from deepphysinet_tpu.ops.decode_kernel import (
-        fuse_decode_weights, fused_decode_jvp_v4t_kbwd)
+        fuse_decode_weights, fuse_v6_from_v4, fused_decode_jvp_v4s_kbwd,
+        fused_decode_jvp_v4t_kbwd)
 
+    if version == 7:
+        weights, pe_cm, cd_pe = _kernel_inputs_s(
+            model, params, tokens, coords, coord_data, fore_h, coord_spec)
+        ref_t = jax.lax.stop_gradient(coord_data).T
+        fw6 = fuse_v6_from_v4(fuse_decode_weights(weights), coord_spec)
+        return fused_decode_jvp_v4s_kbwd(fw6, pe_cm, cd_pe, ref_t, 256,
+                                         model.compute_dtype, interpret)
     weights, pe, dpe, cd_pe = _kernel_inputs(
         model, params, tokens, coords, coord_data, fore_h, coord_spec)
     ref_t = jax.lax.stop_gradient(coord_data).T
@@ -348,6 +362,19 @@ def _kernel_inputs(model, params, tokens, coords, coord_data, fore_h, coord_spec
     cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)
     cd_pe = sinecos_pe_flat(coord_data, cd_freqs, dtype=model.compute_dtype)
     return weights, pe, dpe, cd_pe
+
+
+def _kernel_inputs_s(model, params, tokens, coords, coord_data, fore_h, coord_spec):
+    """v4s (dpe-free) kernel inputs: channel-major trig operand + cd PE."""
+    from deepphysinet_tpu.ops.decode_kernel import extract_decode_weights, trig_cm_inputs
+    from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe_flat
+
+    weights = extract_decode_weights(model, params, tokens, fore_h)
+    pe_cm = trig_cm_inputs(coords, coord_spec, dtype=model.compute_dtype)
+    in_ch = model.net_cfg["in_channels"]
+    cd_freqs = make_freq_bands(in_ch // 2 // 6, max_freq=4.0)
+    cd_pe = sinecos_pe_flat(coord_data, cd_freqs, dtype=model.compute_dtype)
+    return weights, pe_cm, cd_pe
 
 
 def fused_kernel_fields(
@@ -388,6 +415,11 @@ def fused_kernel_fields(
         fused_decode_jvp_v4_kbwd, fused_decode_jvp_v4pe,
         fused_decode_jvp_v6, fused_decode_jvp_v6_kbwd, trig3_inputs)
 
+    if version == 7:
+        # v4s is a var-major kernel-IO variant (fused_kernel_fields_t); on
+        # this [N, 6]-layout path a shared kernel_version=7 config value
+        # means "the v4 algebra" -- same dispatch rule as jvp_fields
+        version = 4
     if version == 6:
         # v6: the PE derivative is folded into the per-window weight prep
         # (fuse_v6_from_v4), so the only per-point prep is the trig blocks --
@@ -477,12 +509,17 @@ def jvp_fields(
     jax.linearize over the model decode, but with the analytic PE tangents
     and the f2/c collapse, so XLA sees ~2.3x fewer matmul FLOPs.
     ``version=6`` uses the trig-input formulation (PE derivative folded into
-    the weight prep -- no dpe array; same math).
+    the weight prep -- no dpe array; same math).  ``version=7`` (the v4s
+    Pallas variant) is a kernel-IO layout choice with no meaning for this
+    pure-XLA path -- it is accepted and treated as 4 so a shared
+    ``kernel_version`` config value works across engines.
     """
     from deepphysinet_tpu.ops.decode_kernel import (
         decode_jvp_xla_v4, decode_jvp_xla_v6, fuse_decode_weights,
         fuse_v6_from_v4, trig3_inputs)
 
+    if version == 7:
+        version = 4
     if version == 6:
         from deepphysinet_tpu.ops.decode_kernel import extract_decode_weights
         from deepphysinet_tpu.ops.position_encoding import make_freq_bands, sinecos_pe
@@ -609,6 +646,22 @@ def fused_residual_losses(
     point-count crossover.  Not differentiable w.r.t. params (eval/bench
     path); training uses the custom-VJP kernel pair through train_step.
     """
+    if version == 7:
+        # v4s split path: dpe-free var-major kernel + packed [6, N] assembly
+        # (docs/PERF.md round 5)
+        from deepphysinet_tpu.ops.decode_kernel import (
+            fuse_decode_weights, fuse_v6_from_v4, fused_decode_jvp_v4s)
+
+        weights, pe_cm, cd_pe = _kernel_inputs_s(
+            model, params, tokens, coords, coord_data, fore_h, coord_spec)
+        ref_t = jax.lax.stop_gradient(coord_data).T
+        fw6 = fuse_v6_from_v4(fuse_decode_weights(weights), coord_spec)
+        primal_t, tang_t = fused_decode_jvp_v4s(
+            fw6, pe_cm, cd_pe, ref_t, interpret=interpret,
+            compute_dtype=model.compute_dtype)
+        return packed_residual_losses_from_primal_tangents_t(
+            primal_t, tang_t, coriolis_f, obs_specs, loss_factor,
+            with_clip=with_clip, constants=constants)
     if version != 4 and coords.shape[0] >= FUSED_ASSEMBLY_MIN_N:
         from deepphysinet_tpu.ops.residual_kernel import kernel_residual_losses
 

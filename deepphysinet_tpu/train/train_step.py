@@ -95,9 +95,14 @@ class StepConfig:
     # decode-kernel generation for the 'kernel'/'jvp' engines: 4 (default)
     # keeps the explicit pe/dpe prep; 6 feeds the layer-1 matmuls from trig
     # blocks with the PE derivative folded into the per-window weight prep
-    # (no dpe array; docs/PERF.md round 3 (l)).  Identical math either way;
-    # set via train_cfg.tpu.kernel_version.
-    kernel_version: int = 4
+    # (no dpe array; docs/PERF.md round 3 (l)); 7 ("v4s") is the dpe-free
+    # var-major kernel pair: v6's folded weights on v4's single wide-K
+    # primal pass over a channel-major trig operand (docs/PERF.md round 5).
+    # Identical math in every case; set via train_cfg.tpu.kernel_version.
+    # Default 7 since round 5: eval 20.9 -> 23.3M evals/s, step 3.58 -> 3.41
+    # ms in-scan (docs/PERF.md round 5 (b)), parity pinned by
+    # tests/test_decode_kernel_v4s.py.
+    kernel_version: int = 7
     # vectorized [6, N]-layout residual assembly for the jvp/kernel engines
     # with the default MSE pde criterion -- identical values, but its XLA
     # reverse-AD is ~25x cheaper than the [N, 1]-column dict form's
@@ -162,7 +167,7 @@ def _window_losses(
     # lane-padded minor-dim-6 buffer appears on the grad path (docs/PERF.md
     # round 4 (e)/(f)); values identical, pinned by tests
     var_major = (cfg.var_major and packed and cfg.pde_engine == "kernel"
-                 and cfg.kernel_version == 4)
+                 and cfg.kernel_version in (4, 7))
 
     def engine_fields(pts: PointBatch):
         """(primal_norm, FieldDerivatives | raw tang) via cfg.pde_engine."""
@@ -170,7 +175,8 @@ def _window_losses(
         if var_major:
             return fused_kernel_fields_t(
                 model, params, tokens, coords, pts.nwp, fore_h,
-                cfg.coord_spec, interpret=cfg.kernel_interpret)
+                cfg.coord_spec, interpret=cfg.kernel_interpret,
+                version=cfg.kernel_version)
         if cfg.pde_engine == "kernel":
             return fused_kernel_fields(
                 model, params, tokens, coords, pts.nwp, fore_h,

@@ -10,6 +10,14 @@ Two independent counters, used to cross-check each other:
 * ``decode_jvp_v4_flops_per_point`` -- the analytic matmul count of the v4
   algebra, the number docs/PERF.md quotes as ~4.9 MFLOP/pt.
 
+The two counters use slightly different bases, so MFU percentages quoted
+against them differ for the SAME measured time: the twin-counted basis
+includes everything in the eval program (prep trig, assembly, encode --
+~5.06 MFLOP/pt at the bench shape; bench.py's eval MFU uses this), while
+the analytic basis counts only the kernel's matmuls (~4.94 MFLOP/pt;
+docs/PERF.md's "71.7% kernel MFU" uses this over the kernel-only time).
+Neither is wrong -- state which basis a number uses when quoting it.
+
 MFU here = counted FLOPs / wall time / chip peak for the compute dtype.
 Peaks are the published per-chip dense peaks (v5e: 197 TFLOP/s bf16, v4:
 275, v5p: 459); f32 paths use the bf16 peak too -- on TPU f32 matmuls run
