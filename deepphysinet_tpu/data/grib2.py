@@ -141,7 +141,14 @@ def _pack_bits(vals: np.ndarray, nbits: int) -> bytes:
 
 
 def read_messages(path: str) -> List[Grib2Message]:
-    """Decode every GRIB2 message in ``path`` (supported templates only)."""
+    """Decode every GRIB2 field in ``path`` (supported templates only).
+
+    A single GRIB2 message may repeat sections 3-7 (or just 4-7 under one
+    grid) for several fields -- the WMO FM 92 repetition rule, used by real
+    NCEP/ECMWF archives -- so one on-disk message can yield several
+    ``Grib2Message`` records: one per section-7 occurrence, inheriting the
+    most recent sections 1/3/4/5/6 state.
+    """
     with open(path, "rb") as f:
         buf = f.read()
     out: List[Grib2Message] = []
@@ -150,13 +157,13 @@ def read_messages(path: str) -> List[Grib2Message]:
         pos = buf.find(b"GRIB", pos)
         if pos < 0:
             break
-        out.append(_read_one(buf, pos))
+        out.extend(_read_one(buf, pos))
         total_len = struct.unpack_from(">Q", buf, pos + 8)[0]
         pos += total_len
     return out
 
 
-def _read_one(buf: bytes, start: int) -> Grib2Message:
+def _read_one(buf: bytes, start: int) -> List[Grib2Message]:
     edition = buf[start + 7]
     if edition != 2:
         raise ValueError(f"GRIB edition {edition} unsupported (only 2)")
@@ -170,7 +177,21 @@ def _read_one(buf: bytes, start: int) -> Grib2Message:
     product = None
     packing = None
     bitmap = None
-    values = None
+    out: List[Grib2Message] = []
+
+    def emit(values: np.ndarray) -> Grib2Message:
+        if ref_time is None or grid is None or product is None:
+            raise ValueError("incomplete GRIB2 message")
+        ni, nj, lat, lon = grid
+        category, number, fh, surf_type, level = product
+        type_of_level = _LEVEL_TYPES.get(surf_type, f"level_{surf_type}")
+        if type_of_level == "isobaricInhPa":
+            level = level / 100.0  # stored in Pa
+        return Grib2Message(
+            discipline=discipline, param_category=category,
+            param_number=number, ref_time=ref_time, forecast_hours=fh,
+            type_of_level=type_of_level, level=level, lat=lat, lon=lon,
+            values=values.reshape(nj, ni))
 
     while pos < end:
         if buf[pos:pos + 4] == b"7777":
@@ -192,23 +213,19 @@ def _read_one(buf: bytes, start: int) -> Grib2Message:
             if indicator == 0:
                 bitmap = np.unpackbits(
                     np.frombuffer(sec[6:], np.uint8)).astype(bool)
-            elif indicator != 255:
+            elif indicator == 254:
+                pass  # re-use the previously defined bitmap (FM 92 code 254)
+            elif indicator == 255:
+                bitmap = None
+            else:
                 raise ValueError(f"bitmap indicator {indicator} unsupported")
         elif sec_num == 7:
-            values = _unpack_data(sec, packing, grid, bitmap)
+            out.append(emit(_unpack_data(sec, packing, grid, bitmap)))
         pos += sec_len
 
-    if ref_time is None or grid is None or product is None or values is None:
+    if not out:
         raise ValueError("incomplete GRIB2 message")
-    ni, nj, lat, lon = grid
-    category, number, fh, surf_type, level = product
-    type_of_level = _LEVEL_TYPES.get(surf_type, f"level_{surf_type}")
-    if type_of_level == "isobaricInhPa":
-        level = level / 100.0  # stored in Pa
-    return Grib2Message(
-        discipline=discipline, param_category=category, param_number=number,
-        ref_time=ref_time, forecast_hours=fh, type_of_level=type_of_level,
-        level=level, lat=lat, lon=lon, values=values.reshape(nj, ni))
+    return out
 
 
 def _parse_grid(sec: bytes) -> Tuple[int, int, np.ndarray, np.ndarray]:

@@ -318,7 +318,7 @@ def read_messages_from_bytes(raw: bytes):
         pos = raw.find(b"GRIB", pos)
         if pos < 0:
             break
-        msgs.append(grib2._read_one(raw, pos))
+        msgs.extend(grib2._read_one(raw, pos))  # one record per sec-7 field
         import struct as _s
 
         pos += _s.unpack_from(">Q", raw, pos + 8)[0]
