@@ -1,0 +1,162 @@
+"""Stdlib HDF5 reader vs h5py (independent producer) + ERA5 tool wiring.
+
+h5py (present in the image) writes the fixtures; data/hdf5_lite.py must
+reproduce every array and attribute bit-for-bit from the raw bytes.  Both
+libver modes are exercised: 'earliest' (v0 superblock, v1 object headers,
+symbol-table groups — what the netCDF-4 C library writes for CDS ERA5
+downloads) and 'latest' (v3 superblock, OHDR v2 headers, compact link
+messages).
+"""
+
+import datetime
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from deepphysinet_tpu.data import hdf5_lite
+
+
+def _write_era5_like(path, libver):
+    """An ERA5-single-levels-shaped file: packed int16 + scale/offset,
+    gzip+shuffle chunked, hourly time axis, lat/lon coordinates."""
+    rng = np.random.RandomState(0)
+    nt, nlat, nlon = 5, 16, 24
+    t2m_true = 250.0 + 30.0 * rng.rand(nt, nlat, nlon)
+    scale, offset = 5e-4, 265.0
+    t2m_packed = np.round((t2m_true - offset) / scale).astype("<i2")
+    sp_true = (95000.0 + 6000.0 * rng.rand(nt, nlat, nlon)).astype("<f4")
+
+    with h5py.File(path, "w", libver=libver) as f:
+        f.create_dataset("time", data=np.arange(nt, dtype="<i4") + 938952,
+                         dtype="<i4").attrs["units"] = \
+            np.bytes_("hours since 1900-01-01 00:00:00.0")
+        f.create_dataset("latitude", data=np.linspace(60, 52.5, nlat,
+                                                      dtype="<f4"))
+        f.create_dataset("longitude", data=np.linspace(0, 11.5, nlon,
+                                                       dtype="<f4"))
+        d = f.create_dataset("t2m", data=t2m_packed,
+                             chunks=(2, 8, 16), shuffle=True,
+                             compression="gzip", compression_opts=4)
+        d.attrs["scale_factor"] = np.float64(scale)
+        d.attrs["add_offset"] = np.float64(offset)
+        d.attrs["_FillValue"] = np.int16(-32767)
+        d.attrs["units"] = np.bytes_("K")
+        # contiguous float variable
+        f.create_dataset("sp", data=sp_true)
+    return t2m_packed, scale, offset, sp_true
+
+
+@pytest.mark.parametrize("libver", ["earliest", "latest"])
+def test_matches_h5py_reads(tmp_path, libver):
+    p = str(tmp_path / f"era5_{libver}.nc")
+    _write_era5_like(p, libver)
+
+    got = hdf5_lite.HDF5LiteFile(p)
+    with h5py.File(p, "r") as ref:
+        assert set(got.datasets) == set(ref.keys())
+        for name in ref:
+            a = got.datasets[name].read()
+            b = ref[name][...]
+            assert a.dtype == b.dtype, name
+            np.testing.assert_array_equal(a, b, err_msg=name)
+            for k, v in ref[name].attrs.items():
+                if k in got.datasets[name].attributes:
+                    gv = got.datasets[name].attributes[k]
+                    if isinstance(v, bytes):
+                        assert gv == v.decode(), (name, k)
+                    else:
+                        np.testing.assert_array_equal(np.asarray(gv), v,
+                                                      err_msg=f"{name}.{k}")
+
+
+@pytest.mark.parametrize("libver", ["earliest", "latest"])
+def test_mask_and_scale_matches_netcdf4_convention(tmp_path, libver):
+    p = str(tmp_path / "era5.nc")
+    t2m_packed, scale, offset, sp_true = _write_era5_like(p, libver)
+    var = hdf5_lite.open_variables(p)
+    got = var["t2m"][...]
+    expect = t2m_packed.astype(np.float32) * scale + offset
+    np.testing.assert_allclose(np.ma.filled(got, np.nan), expect, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(var["sp"]), sp_true)
+    # scalar access pattern the ETL core uses: hours[i].data
+    hours = var["time"]
+    assert float(hours[2].data) == 938952 + 2
+
+
+def test_fill_value_masks(tmp_path):
+    p = str(tmp_path / "fv.nc")
+    with h5py.File(p, "w") as f:
+        d = f.create_dataset("x", data=np.array([1, -9999, 3], "<i4"))
+        d.attrs["_FillValue"] = np.int32(-9999)
+    var = hdf5_lite.open_variables(p)
+    got = var["x"][...]
+    assert bool(got.mask[1]) and not got.mask[0]
+
+
+def test_multi_chunk_edge_chunks(tmp_path):
+    """Chunk grid not dividing the shape: edge chunks must be trimmed."""
+    p = str(tmp_path / "edge.nc")
+    data = np.arange(7 * 13, dtype="<f8").reshape(7, 13)
+    with h5py.File(p, "w") as f:
+        f.create_dataset("y", data=data, chunks=(3, 5), compression="gzip")
+    got = hdf5_lite.HDF5LiteFile(p).datasets["y"].read()
+    np.testing.assert_array_equal(got, data)
+
+
+def test_groups_are_walked(tmp_path):
+    p = str(tmp_path / "grp.nc")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("inner")
+        g.create_dataset("z", data=np.arange(4, dtype="<i2"))
+    ds = hdf5_lite.HDF5LiteFile(p).datasets
+    assert "inner/z" in ds
+    np.testing.assert_array_equal(ds["inner/z"].read(),
+                                  np.arange(4, dtype="<i2"))
+
+
+def test_era5_tool_runs_on_hdf5_bytes(tmp_path):
+    """tools/extract_variable_from_ERA5.py DEFAULT open path consumes a
+    netCDF-4 (HDF5) file without the netCDF4 library (round-5 VERDICT #6;
+    reference behavior: tools/extract_variable_from_ERA5.py:75)."""
+    from tools.extract_variable_from_ERA5 import process
+    from deepphysinet_tpu.data.geotiff import read_full_image
+
+    rng = np.random.RandomState(1)
+    nt, nlat, nlon = 3, 12, 18
+    hours0 = int((datetime.datetime(2008, 1, 1)
+                  - datetime.datetime(1900, 1, 1)).total_seconds() // 3600)
+    fields = {}
+    p = str(tmp_path / "era5_hourly.nc")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("time", data=np.arange(nt, dtype="<i4") + hours0)
+        for name, base, spread in (("sp", 95000.0, 5000.0),
+                                   ("t2m", 250.0, 30.0),
+                                   ("u10", -10.0, 20.0),
+                                   ("v10", -10.0, 20.0),
+                                   ("d2m", 240.0, 30.0)):
+            true = base + spread * rng.rand(nt, nlat, nlon)
+            scale = spread / 60000.0
+            packed = np.round((true - base) / scale).astype("<i2")
+            d = f.create_dataset(name, data=packed, chunks=(1, nlat, nlon),
+                                 shuffle=True, compression="gzip")
+            d.attrs["scale_factor"] = np.float64(scale)
+            d.attrs["add_offset"] = np.float64(base)
+            fields[name] = packed.astype(np.float64) * scale + base
+
+    out = tmp_path / "labels"
+    process([p], str(out),
+            ["sp", "t2m", "d2m"], ["PSFC", "t2", "q2"],
+            datetime.datetime(2008, 1, 1), datetime.datetime(2008, 1, 2),
+            None)
+    ts = datetime.datetime(2008, 1, 1, 1)  # second hour
+    name = f"ERA5_{ts.strftime('%Y-%m-%d-%H-%M-%S')}_t2.tiff"
+    got = read_full_image(str(out / name), as_rgb=False, normalize=False)[0]
+    np.testing.assert_allclose(got, fields["t2m"][1][::-1].astype(np.float32),
+                               rtol=1e-6)
+    # q2 derived from d2m + PSFC exists and is physical
+    q2 = read_full_image(
+        str(out / f"ERA5_{ts.strftime('%Y-%m-%d-%H-%M-%S')}_q2.tiff"),
+        as_rgb=False, normalize=False)[0]
+    assert np.all(q2 > 0) and np.all(q2 < 0.1)

@@ -20,31 +20,24 @@ from deepphysinet_tpu.data.geotiff import read_full_image, save_full_image
 from deepphysinet_tpu.physics.thermo import specific_humidity_from_dewpoint
 
 
-def _require_netcdf():
+def _default_open(data_file):
+    """netCDF4 when installed; otherwise classic files (magic CDF) use the
+    stdlib reader (data/netcdf_classic.py) and netCDF-4/HDF5 containers the
+    stdlib HDF5 reader (data/hdf5_lite.py) -- both return the same
+    ``.variables``-style dict with CF mask-and-scale applied on access, so
+    modern CDS ERA5 downloads ingest without any third-party library."""
     try:
         from netCDF4 import Dataset
-
-        return Dataset
-    except ImportError as e:
-        raise SystemExit(
-            "extract_variable_from_ERA5 requires netCDF4 (pip install netCDF4); "
-            "not available in this environment"
-        ) from e
-
-
-def _default_open(data_file):
-    """Classic files (magic CDF) use the stdlib-only reader when netCDF4 is
-    absent (data/netcdf_classic.py); NetCDF-4/HDF5 needs netCDF4."""
+        return Dataset(data_file).variables
+    except ImportError:
+        pass
     with open(data_file, "rb") as f:
         magic = f.read(4)
     if magic[:3] == b"CDF":
-        try:
-            from netCDF4 import Dataset
-            return Dataset(data_file).variables
-        except ImportError:
-            from deepphysinet_tpu.data.netcdf_classic import open_variables
-            return open_variables(data_file)
-    return _require_netcdf()(data_file).variables
+        from deepphysinet_tpu.data.netcdf_classic import open_variables
+        return open_variables(data_file)
+    from deepphysinet_tpu.data.hdf5_lite import open_variables
+    return open_variables(data_file)
 
 
 def process(data_files, result_path, var_name_list, proj_name_list, start_time, end_time,
