@@ -44,6 +44,11 @@ def main() -> None:
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--mode", type=str, default=None,
                         choices=[None, "train", "test", "inference"], nargs="?")
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="dotted config override applied to config.*, e.g. "
+                             "--set train_cfg.tpu.device_valid=False "
+                             "(values parsed as python literals when possible)")
     args = parser.parse_args()
 
     if args.dist:
@@ -58,6 +63,19 @@ def main() -> None:
     from deepphysinet_tpu.interface.build import builder_models
 
     cfg = Config.fromfile(args.config_file)
+    if args.overrides:
+        import ast
+
+        from deepphysinet_tpu.config.config import update_params
+
+        kv = {}
+        for item in args.overrides:
+            key, _, raw = item.partition("=")
+            try:
+                kv[key] = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                kv[key] = raw
+        update_params(cfg["config"], kv)
     mode = args.mode or cfg.get("mode", "train")
     models = builder_models(**cfg["config"])
 
