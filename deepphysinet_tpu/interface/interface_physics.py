@@ -363,6 +363,12 @@ class InterfacePhysics:
             log_fp.write(f"resume from epoch {current_epoch} global_step {global_step}\n")
             state = self._restore_state(state, state_dict, tx)
 
+        # resume-time LR injection (BEFORE the device-mode dispatch: a resumed
+        # run must start at schedule(current_epoch), not the optimizer's base)
+        lr = schedule(max(current_epoch, 0))
+        set_learning_rate(state.opt_state, lr)
+        print("set lr to:", lr)
+
         # ---- on-device sampling mode: host ships cubes, points sampled in-jit ----
         if self.sample_mode == "device":
             return self._run_train_device_sampling(
@@ -408,9 +414,6 @@ class InterfacePhysics:
             vis_utils = VisUtils(**vis_cfg)
 
         time_metric = TimeMetric()
-        lr = schedule(max(current_epoch, 0))
-        set_learning_rate(state.opt_state, lr)
-        print("set lr to:", lr)
 
         # Preemption-safe checkpointing: SIGTERM triggers a mid-epoch save of
         # physics_latest (the reference can only resume from epoch boundaries).
@@ -521,11 +524,12 @@ class InterfacePhysics:
                         break
 
                 is_last = stop or epoch == num_epoch - 1
+                # LR steps once per epoch like the reference scheduler
+                # (interface_physics.py:831-837), NOT only on save epochs;
+                # it runs on EVERY process (it feeds the next compiled steps)
+                lr = schedule(epoch + 1)
+                set_learning_rate(state.opt_state, lr)
                 if (epoch % save_step == 0 or is_last) and not preemption_saved:
-                    # LR update runs on EVERY process (it feeds the next
-                    # compiled steps); writes/saves are rank-0 only
-                    lr = schedule(epoch + 1)
-                    set_learning_rate(state.opt_state, lr)
                     if is_main:
                         summary.add_scalar("learning_rate", lr, global_step)
                         self._epoch_save(async_ckpt, is_last, checkpoint_path,
@@ -938,14 +942,19 @@ class InterfacePhysics:
             data_sharding = None
             loader_batch = 1
         key = jax.random.PRNGKey(int(global_step) + 1)
-        # Per-step sampler subkeys come from pre-split BLOCKS.  Multi-process
-        # mode needs the subkey as an identical HOST value on every rank (the
-        # jit promotes it to a replicated global array) -- but fetching one
-        # key per step is a per-step device->host sync through the tunnel
-        # (can cost seconds on slow-fetch days).  One fetch per block instead;
-        # single-process keeps the block on device (same stream, so the
-        # 2-process-vs-single loss-parity test keeps matching).
-        _KEY_BLOCK = 1024
+        # Per-step sampler subkeys come from pre-split BLOCKS, fetched to the
+        # HOST once per block.  Multi-process mode needs the subkey as an
+        # identical host value on every rank (the jit promotes it to a
+        # replicated global array); single-process used to keep the block on
+        # device, but indexing a device array is one extra tunnel dispatch
+        # PER STEP -- measured at 1.66 ms/step, ~25% of the whole host loop
+        # (docs/PERF.md round 5 (e)).  A numpy row costs nothing, the stream
+        # is bitwise identical (same split, same values), and the one
+        # device->host block fetch amortizes to ~0 over _KEY_BLOCK steps.
+        # (The fetch syncs on the dispatch queue, so it costs ~1 s through
+        # the tunnel regardless of size -- 8192 keys amortize it to ~0.15
+        # ms/step; the block itself is 64 KB.)
+        _KEY_BLOCK = 8192
         _key_state = {"block": None, "i": _KEY_BLOCK}
 
         def next_subkey():
@@ -953,7 +962,7 @@ class InterfacePhysics:
             if _key_state["i"] >= _KEY_BLOCK:
                 ks = jax.random.split(key, _KEY_BLOCK + 1)
                 key = ks[0]
-                _key_state["block"] = np.asarray(ks[1:]) if nproc > 1 else ks[1:]
+                _key_state["block"] = np.asarray(ks[1:])
                 _key_state["i"] = 0
             sub = _key_state["block"][_key_state["i"]]
             _key_state["i"] += 1
@@ -1050,16 +1059,58 @@ class InterfacePhysics:
         )
         stop = False
         preemption_saved = False
+        # DPN_LOOP_PROF=1: attribute per-step host-loop wall time by phase
+        # (loader next / cube cache / subkey / step dispatch / loop tail);
+        # prints one summary line at loop exit.  Phase timing is two
+        # perf_counter reads per phase -- negligible against ms-scale steps.
+        prof = ({"loader": 0.0, "cube": 0.0, "key": 0.0, "dispatch": 0.0,
+                 "tail": 0.0, "steps": 0}
+                if os.environ.get("DPN_LOOP_PROF") else None)
+        _pc = time.perf_counter
+
+        def _timed_iter(iterable, slot):
+            it = iter(iterable)
+            while True:
+                t0 = _pc()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+                prof[slot] += _pc() - t0
+                yield item
+
         try:
             for epoch in range(current_epoch, num_epoch):
                 if stop:
                     break
-                for batch_id, data in enumerate(loader):
+                for batch_id, data in enumerate(
+                        _timed_iter(loader, "loader") if prof else loader):
                     with_pde = bool(self.train_cfg.get("with_pde", True)) and \
                         global_step >= self.pde_start_step
                     global_step += 1
-                    cube = to_device_cube(data)
-                    state, metrics = step(state, cube, next_subkey(), with_pde)
+                    if prof is None:
+                        cube = to_device_cube(data)
+                        state, metrics = step(state, cube, next_subkey(),
+                                              with_pde)
+                    else:
+                        t0 = _pc()
+                        cube = to_device_cube(data)
+                        t1 = _pc()
+                        sub = next_subkey()
+                        t2 = _pc()
+                        state, metrics = step(state, cube, sub, with_pde)
+                        t3 = _pc()
+                        prof["cube"] += t1 - t0
+                        prof["key"] += t2 - t1
+                        prof["dispatch"] += t3 - t2
+                        prof["steps"] += 1
+                        prof["_end"] = t3  # excludes the final epoch save
+                        if prof["steps"] == 200 and "_start" not in prof:
+                            # one-time warmup cut: drop compiles + first stalls
+                            for k in ("loader", "cube", "key", "dispatch"):
+                                prof[k] = 0.0
+                            prof["steps"] = 0
+                            prof["_start"] = _pc()
                     steps_since_log += 1
                     do_log = (global_step % log_step == 1
                               or (max_steps and global_step >= max_steps))
@@ -1092,16 +1143,28 @@ class InterfacePhysics:
                         def log_job(metrics=metrics, vm_arrays=vm_arrays,
                                     epoch=epoch, global_step=global_step,
                                     fps=fps, elapsed=elapsed):
-                            # the WHOLE job is fetch-tolerant: a one-off tunnel
-                            # error on either the training- or validation-metric
-                            # fetch must not latch in AsyncWorker and kill a
-                            # long run at the next submit
+                            # ONE merged pack+fetch for train AND valid
+                            # scalars: each _fetch_metrics call is a full
+                            # tunnel round trip (~0.5-1 s on slow days), and
+                            # two of them per log event outlast the log
+                            # interval -> AsyncWorker backpressure throttles
+                            # the dispatch loop (docs/PERF.md round 5 (e)).
+                            # The job stays fetch-tolerant: a one-off tunnel
+                            # error must not latch and kill a long run.
+                            fetch = dict(metrics)
+                            if vm_arrays is not None:
+                                fetch.update({"valid:" + k: v
+                                              for k, v in vm_arrays.items()})
                             try:
-                                m = self._fetch_metrics(metrics)
+                                got = self._fetch_metrics(fetch)
                             except Exception as e:
-                                print(f"warning: training metric fetch failed "
+                                print(f"warning: metric fetch failed "
                                       f"({e}); skipping this log step")
                                 return
+                            m = {k: v for k, v in got.items()
+                                 if not k.startswith("valid:")}
+                            vm = {k[6:]: v for k, v in got.items()
+                                  if k.startswith("valid:")} or None
                             line = (f"[device-sampled] epoch:{epoch}/{num_epoch},"
                                     f"iter:{global_step},"
                                     f"train loss:{m['total_loss']:.6f},"
@@ -1113,19 +1176,12 @@ class InterfacePhysics:
                             log_fp.flush()
                             for k, v in m.items():
                                 summary.add_scalar(f"training/{k}", v, global_step)
-                            if vm_arrays is not None:
-                                try:
-                                    vm = self._fetch_metrics(vm_arrays)
-                                except Exception as e:
-                                    print(f"warning: validation metric fetch "
-                                          f"failed ({e}); skipping this log step")
-                                    vm = None
-                                if vm is not None:
-                                    vline = f"valid loss:{vm['total_loss']:.6f}"
-                                    print(vline)
-                                    log_fp.write(vline + "\n")
-                                    for k, v in vm.items():
-                                        summary.add_scalar(f"validation/{k}", v, global_step)
+                            if vm is not None:
+                                vline = f"valid loss:{vm['total_loss']:.6f}"
+                                print(vline)
+                                log_fp.write(vline + "\n")
+                                for k, v in vm.items():
+                                    summary.add_scalar(f"validation/{k}", v, global_step)
 
                         async_log.submit(log_job)
                     if self._agreed_preemption(preempted, nproc, global_step,
@@ -1141,12 +1197,24 @@ class InterfacePhysics:
                         stop = True
                         break
                 is_last = stop or epoch == num_epoch - 1
+                # per-epoch LR step (reference scheduler cadence), decoupled
+                # from the save cadence -- save_step>1 must not freeze the LR
+                lr = schedule(epoch + 1)
+                set_learning_rate(state.opt_state, lr)
                 if (epoch % save_step == 0 or is_last) and not preemption_saved:
-                    lr = schedule(epoch + 1)
-                    set_learning_rate(state.opt_state, lr)
                     if is_main:
                         self._epoch_save(async_ckpt, is_last, checkpoint_path,
                                          epoch, global_step, state, meta_kwargs)
+            if prof is not None and prof["steps"] > 0 and "_start" in prof:
+                n = prof["steps"]
+                total = (prof["_end"] - prof["_start"]) / n * 1e3
+                parts = {k: prof[k] / n * 1e3
+                         for k in ("loader", "cube", "key", "dispatch")}
+                other = total - sum(parts.values())
+                print("[loop-prof] steps:%d total:%.3f ms/step  "
+                      "loader:%.3f cube:%.3f key:%.3f dispatch:%.3f "
+                      "other:%.3f" % (n, total, parts["loader"], parts["cube"],
+                                      parts["key"], parts["dispatch"], other))
             if async_ckpt is not None:
                 async_ckpt.close()  # drain in-flight saves
             async_log.close()  # drain pending fetches before closing the sinks

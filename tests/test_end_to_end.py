@@ -178,6 +178,43 @@ def test_final_epoch_always_saved(tmp_path_factory):
     assert step == 6 and next_epoch == 3
 
 
+@pytest.mark.parametrize("sample_mode", ["host", "device"])
+def test_lr_steps_every_epoch_despite_sparse_saves(tmp_path_factory,
+                                                   monkeypatch, sample_mode):
+    """The LR schedule steps once per EPOCH (reference scheduler cadence,
+    interface_physics.py:831-837) -- not once per save: with save_step >>
+    num_epoch the schedule must still advance at every epoch boundary.
+    Regression for the save-gated LR bug found in round 5."""
+    import deepphysinet_tpu.interface.interface_physics as iface
+
+    root = str(tmp_path_factory.mktemp(f"e2e_lrcadence_{sample_mode}"))
+    os.environ["DPN_SMOKE_DATA"] = root
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
+    conf = cfg["config"]
+    conf["train_cfg"]["checkpoints"]["save_step"] = 100  # >> num_epoch (3)
+    conf["train_cfg"]["lr_schedule"] = dict(name="stepLR", step_size=1,
+                                            gamma=0.5)
+    if sample_mode == "device":
+        conf["train_cfg"].setdefault("tpu", {})["sample_mode"] = "device"
+
+    seen = []
+    real = iface.set_learning_rate
+
+    def spy(opt_state, lr):
+        seen.append(float(lr))
+        return real(opt_state, lr)
+
+    monkeypatch.setattr(iface, "set_learning_rate", spy)
+    models = builder_models(**conf)
+    models.run_train_interface()  # 3 epochs x 2 steps, ends naturally
+
+    base = conf["train_cfg"]["optimizer"]["lr"]
+    # one resume-time call at epoch 0, then one per completed epoch
+    expected = [base] + [base * 0.5 ** (e + 1) for e in range(3)]
+    np.testing.assert_allclose(seen, expected, rtol=1e-6)
+
+
 def test_run_test_interface_and_cli_test_mode(tmp_path_factory):
     """run_test_interface reports full-grid RMSE, and `train.py --mode test`
     dispatches to it (not to inference) and prints the JSON."""
