@@ -212,7 +212,7 @@ class TorchTwin:
 
     # ---- one full training step ----
 
-    def train_step(self, opt, batch):
+    def train_step(self, opt, batch, with_pde=True):
         cfg = self.cfg
         fh_norm = np.asarray(batch.forecast_h)[:, None] / cfg.forecast_time_period
         tokens = self.encode(np.asarray(batch.field), fh_norm)[0]
@@ -225,11 +225,25 @@ class TorchTwin:
 
         fh = _t(fh_norm[0])
         m_coords, m_cd, m_f = pts(batch.margin)
-        m_losses, m_out = self.pde_losses(tokens, m_coords, m_cd, m_f, fh)
+        if with_pde:
+            m_losses, m_out = self.pde_losses(tokens, m_coords, m_cd, m_f, fh)
+        else:
+            # data-only curriculum phase (reference trains data-only until
+            # pde_start_step, interface_physics.py:455-460)
+            cs = cfg.coord_spec
+            cn = torch.stack(
+                [m_coords[:, 0] / cs.dx / (cs.lon_size - 1),
+                 m_coords[:, 1] / cs.dy / (cs.lat_size - 1),
+                 m_coords[:, 2] / cs.pred_t_span], -1)
+            m_out = self.decode(tokens, _pe(cn, cs.n_freqs), m_cd, fh)
+            m_losses = {}
         data_loss = F.smooth_l1_loss(
             m_out, _t(batch.margin.labels[0]), beta=0.1) * factors["margin_factor"]
-        i_coords, i_cd, i_f = pts(batch.inter)
-        i_losses, _ = self.pde_losses(tokens, i_coords, i_cd, i_f, fh)
+        if with_pde:
+            i_coords, i_cd, i_f = pts(batch.inter)
+            i_losses, _ = self.pde_losses(tokens, i_coords, i_cd, i_f, fh)
+        else:
+            i_losses = {}
         total = data_loss + sum(m_losses.values()) + sum(i_losses.values())
 
         opt.zero_grad()
