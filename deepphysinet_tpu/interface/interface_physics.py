@@ -1059,6 +1059,7 @@ class InterfacePhysics:
         )
         stop = False
         preemption_saved = False
+        log_skips = 0  # log events dropped under fetch backpressure
         # DPN_LOOP_PROF=1: attribute per-step host-loop wall time by phase
         # (loader next / cube cache / subkey / step dispatch / loop tail);
         # prints one summary line at loop exit.  Phase timing is two
@@ -1112,8 +1113,24 @@ class InterfacePhysics:
                             prof["steps"] = 0
                             prof["_start"] = _pc()
                     steps_since_log += 1
-                    do_log = (global_step % log_step == 1
-                              or (max_steps and global_step >= max_steps))
+                    is_final_step = bool(max_steps) and global_step >= max_steps
+                    do_log = global_step % log_step == 1 or is_final_step
+                    # Monitoring must never throttle training: when the async
+                    # log queue is full (each job is a ~0.5-1 s tunnel fetch on
+                    # slow days; the queue saturating means fetches outpace the
+                    # log interval), SKIP this log event instead of blocking
+                    # the dispatch loop on the submit (measured: blocking
+                    # throttled the whole loop to the fetch rate, 11.2 vs 4.0
+                    # ms/step -- docs/PERF.md round 5 (e)).  Single-process
+                    # only: with nproc>1 the validation dispatch below is a
+                    # collective every rank must enter in lockstep, and the
+                    # queue state is rank-local.  The final event is always
+                    # delivered.  On fast tunnels the queue never fills and
+                    # nothing is ever skipped.
+                    if (do_log and not is_final_step and nproc == 1
+                            and async_log.full()):
+                        do_log = False
+                        log_skips += 1
                     if do_log:
                         fps = time_metric.get_fps(steps_since_log)
                         time_metric.reset()
@@ -1139,10 +1156,12 @@ class InterfacePhysics:
                     if do_log and is_main:
 
                         elapsed = loop_metric.get_time()
+                        n_skipped, log_skips = log_skips, 0
 
                         def log_job(metrics=metrics, vm_arrays=vm_arrays,
                                     epoch=epoch, global_step=global_step,
-                                    fps=fps, elapsed=elapsed):
+                                    fps=fps, elapsed=elapsed,
+                                    n_skipped=n_skipped):
                             # ONE merged pack+fetch for train AND valid
                             # scalars: each _fetch_metrics call is a full
                             # tunnel round trip (~0.5-1 s on slow days), and
@@ -1171,6 +1190,9 @@ class InterfacePhysics:
                                     f"margin:{m['margin_loss']:.6f},"
                                     f"grad:{m['grad_norm']:.3e},fps:{fps:.3f},"
                                     f"t:{elapsed:.1f}s")
+                            if n_skipped:
+                                line += (f" [{n_skipped} log events skipped:"
+                                         f" fetch backpressure]")
                             print(line)
                             log_fp.write(line + "\n")
                             log_fp.flush()

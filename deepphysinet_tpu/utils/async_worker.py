@@ -58,6 +58,17 @@ class AsyncWorker:
         self._raise()
         self._q.put(job)
 
+    def full(self) -> bool:
+        """True when a ``submit`` would block on the bounded queue.
+
+        With a single producer this is race-free in the useful direction:
+        the worker thread only DRAINS, so ``full() == False`` guarantees the
+        producer's next ``submit`` does not block.  Callers use it to shed
+        best-effort work (log fetches) under backpressure instead of letting
+        a slow consumer throttle the producer loop.
+        """
+        return self._q.full()
+
     def wait(self) -> None:
         """Block until every submitted job is done; re-raise latched errors."""
         self._q.join()

@@ -3,6 +3,7 @@ inference, on synthetic data (the BASELINE.json CPU-runnable configuration)."""
 
 import glob
 import os
+import time
 
 import numpy as np
 import pytest
@@ -213,6 +214,40 @@ def test_lr_steps_every_epoch_despite_sparse_saves(tmp_path_factory,
     # one resume-time call at epoch 0, then one per completed epoch
     expected = [base] + [base * 0.5 ** (e + 1) for e in range(3)]
     np.testing.assert_allclose(seen, expected, rtol=1e-6)
+
+
+def test_log_fetch_backpressure_sheds_events_not_throughput(
+        tmp_path_factory, monkeypatch, capsys):
+    """When metric fetches are slower than the log interval, the device loop
+    SKIPS log events (counting them) instead of blocking the dispatch loop on
+    the bounded async queue (docs/PERF.md round 5 (e)); the final event is
+    always delivered."""
+    import deepphysinet_tpu.interface.interface_physics as iface
+
+    root = str(tmp_path_factory.mktemp("e2e_backpressure"))
+    os.environ["DPN_SMOKE_DATA"] = root
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
+    conf = cfg["config"]
+    conf["train_cfg"].setdefault("tpu", {})["sample_mode"] = "device"
+    conf["train_cfg"]["num_epoch"] = 30  # ~2 steps/epoch: enough for 40 iters
+    conf["train_cfg"]["log"]["log_step"] = 2  # log every other step
+
+    real_fetch = iface.InterfacePhysics._fetch_metrics
+
+    def slow_fetch(metrics):
+        time.sleep(0.25)  # >> per-step host time: queue must saturate
+        return real_fetch(metrics)
+
+    monkeypatch.setattr(iface.InterfacePhysics, "_fetch_metrics",
+                        staticmethod(slow_fetch))
+    models = builder_models(**conf)
+    models.run_train_interface(max_steps=40)
+
+    out = capsys.readouterr().out
+    assert "log events skipped: fetch backpressure" in out
+    # the final (max_steps) event is forced through despite the backlog
+    assert "iter:40," in out
 
 
 def test_run_test_interface_and_cli_test_mode(tmp_path_factory):

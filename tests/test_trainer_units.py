@@ -212,6 +212,28 @@ def test_async_worker_close_idempotent_and_latch():
     w2.close_quietly()  # after the latch was consumed: silent
 
 
+def test_async_worker_full_reports_backpressure():
+    """`full()` lets a single producer shed best-effort work instead of
+    blocking: False guarantees the next submit is non-blocking (the worker
+    thread only drains), True while a slow job holds the queue at maxsize."""
+    import threading
+    from deepphysinet_tpu.utils.async_worker import AsyncWorker
+
+    gate, started = threading.Event(), threading.Event()
+    w = AsyncWorker(maxsize=2)
+    assert not w.full()
+    w.submit(lambda: (started.set(), gate.wait()))  # occupies the worker
+    assert started.wait(10)    # the blocker is OFF the queue, running
+    # fill the queue behind the blocked job (2 queued + 1 running)
+    w.submit(lambda: None)
+    w.submit(lambda: None)
+    assert w.full()
+    gate.set()
+    w.wait()
+    assert not w.full()
+    w.close()
+
+
 def test_feasible_valid_batch_clamps(capsys):
     # split fills the scaled batch -> unchanged
     assert InterfacePhysics._feasible_valid_batch(64, 8, 4, 1) == 8
