@@ -711,8 +711,14 @@ class H5Variable:
         offset = self.attributes.get("add_offset")
         data = raw
         if scale is not None or offset is not None:
-            data = raw.astype(np.float64 if raw.dtype.itemsize > 4
-                              else np.float32)
+            # netCDF4's set_auto_maskandscale unpacks in the ATTRIBUTE dtype
+            # (float64 for CDS-produced ERA5 int16 packing), not a size class
+            # of the packed dtype — match it so labels ingested through this
+            # reader agree with the netCDF4 path to float64 round-off.
+            attr_dt = np.result_type(*[np.asarray(a).dtype
+                                       for a in (scale, offset)
+                                       if a is not None])
+            data = raw.astype(np.promote_types(attr_dt, np.float32))
             if scale is not None:
                 data = data * scale
             if offset is not None:

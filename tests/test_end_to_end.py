@@ -230,13 +230,18 @@ def test_log_fetch_backpressure_sheds_events_not_throughput(
     cfg = Config.fromfile(os.path.join(here, "configs", "smoke_cpu_cfg.py"))
     conf = cfg["config"]
     conf["train_cfg"].setdefault("tpu", {})["sample_mode"] = "device"
+    # validation dispatch per log event costs real host time on the CPU mesh
+    # and under full-suite load can outpace the slowed fetch below (the queue
+    # then never saturates and nothing is shed) — it is irrelevant to the
+    # shed mechanics, so keep event production cheap and deterministic.
+    conf["train_cfg"]["tpu"]["device_valid"] = False
     conf["train_cfg"]["num_epoch"] = 30  # ~2 steps/epoch: enough for 40 iters
     conf["train_cfg"]["log"]["log_step"] = 2  # log every other step
 
     real_fetch = iface.InterfacePhysics._fetch_metrics
 
     def slow_fetch(metrics):
-        time.sleep(0.25)  # >> per-step host time: queue must saturate
+        time.sleep(1.0)  # >> per-step host time: queue must saturate
         return real_fetch(metrics)
 
     monkeypatch.setattr(iface.InterfacePhysics, "_fetch_metrics",

@@ -77,8 +77,10 @@ def test_mask_and_scale_matches_netcdf4_convention(tmp_path, libver):
     t2m_packed, scale, offset, sp_true = _write_era5_like(p, libver)
     var = hdf5_lite.open_variables(p)
     got = var["t2m"][...]
-    expect = t2m_packed.astype(np.float32) * scale + offset
-    np.testing.assert_allclose(np.ma.filled(got, np.nan), expect, rtol=1e-6)
+    # netCDF4 unpacks in the attribute dtype (float64 here), not float32
+    expect = t2m_packed.astype(np.float64) * scale + offset
+    assert got.dtype == np.float64
+    np.testing.assert_allclose(np.ma.filled(got, np.nan), expect, rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(var["sp"]), sp_true)
     # scalar access pattern the ETL core uses: hours[i].data
     hours = var["time"]

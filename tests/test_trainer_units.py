@@ -284,3 +284,36 @@ def test_trim_points_multiple():
     assert same.margin.x.shape == (B, 10) and same.inter.x.shape == (B, 6)
     with pytest.raises(ValueError):
         InterfacePhysics._trim_points_multiple(batch, 16)
+
+
+def test_apply_overrides_typo_guard(capsys):
+    """--set overrides: existing leaves apply silently, NEW leaves apply with
+    a loud warning (update_params keeps the reference's create-on-missing
+    semantics, so a typo'd key would otherwise be silently ineffective), and
+    a non-dict intermediate refuses to be clobbered."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import train as train_cli
+
+    cfg = {"train_cfg": {"optimizer": {"lr": 0.1}, "tpu": {}}}
+    train_cli.apply_overrides(cfg, ["train_cfg.optimizer.lr=0.5"])
+    assert cfg["train_cfg"]["optimizer"]["lr"] == 0.5
+    assert "NEW config key" not in capsys.readouterr().out
+
+    # defaulted tpu.* key absent from the file: applied, but warned
+    train_cli.apply_overrides(cfg, ["train_cfg.tpu.device_valid=False"])
+    assert cfg["train_cfg"]["tpu"]["device_valid"] is False
+    assert "NEW config key" in capsys.readouterr().out
+
+    # a typo'd leaf is warned about instead of vanishing silently
+    train_cli.apply_overrides(cfg, ["train_cfg.tpu.device_vaild=True"])
+    assert "device_vaild" in capsys.readouterr().out
+
+    # non-dict intermediate: refuse to clobber
+    with pytest.raises(SystemExit):
+        train_cli.apply_overrides(cfg, ["train_cfg.optimizer.lr.x=1"])
+
+    # non-literal values fall back to raw strings
+    train_cli.apply_overrides(cfg, ["train_cfg.tpu.ds_sampler=pool"])
+    assert cfg["train_cfg"]["tpu"]["ds_sampler"] == "pool"

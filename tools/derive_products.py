@@ -74,23 +74,32 @@ def products_for_window(dataset, input_file: str, products, smooth_passes=3):
 
 
 def products_vs_model(interface, params, dataset, input_file: str,
-                      products=("t2", "wd10m", "rh2"), smooth_passes=3):
+                      products=("t2", "wd10m", "rh2"), smooth_passes=3,
+                      precomputed=None):
     """Derived products next to a trained-model grid sweep for one window.
 
     Proves the pluggable ``gather_fn`` hook against the MODEL path (round-5
     VERDICT #8): the NWP pressure-level cube feeds ProductsUtils while
     ``inference.runner.predict_grid`` sweeps the trained checkpoint over the
     same output grid, and the overlapping surface quantities are compared
-    (product t2 vs model T; product wd10m vs model sqrt(u^2+v^2)).  Returns
+    (product t2 vs model T; product wd10m vs model sqrt(u^2+v^2) — a
+    like-for-like pairing here because this tool's ``gather`` has no NWP
+    source for vertical wind and supplies w≡0, so ``forward_wd10m``'s
+    sqrt(u²+v²+w²) reduces to the horizontal speed).  Returns
     ``(product_maps, model_maps, stats)`` where stats carries RMSE/bias of
-    each overlapping pair in physical units.
+    each overlapping pair in physical units.  ``precomputed`` optionally
+    reuses an already-derived ``(prod, date_str, forecast_h)`` for this
+    window when it covers ``products`` (skips a second derivation pass).
     """
     import jax.numpy as jnp
 
     from deepphysinet_tpu.inference.runner import predict_grid
 
-    prod, date_str, forecast_h = products_for_window(
-        dataset, input_file, products, smooth_passes=smooth_passes)
+    if precomputed is not None and all(k in precomputed[0] for k in products):
+        prod, date_str, forecast_h = precomputed
+    else:
+        prod, date_str, forecast_h = products_for_window(
+            dataset, input_file, products, smooth_passes=smooth_passes)
 
     window_h = dataset.input_time_step * dataset.input_time_step_nums
     step_cfg = interface._step_cfg(float(window_h * 3600),
@@ -187,8 +196,11 @@ def main():
 
     written = []
     files = dataset.input_files[: args.times] if args.times else dataset.input_files
+    first_window = None  # reused by --vs_model to skip a second derivation
     for input_file in files:
         out, date_str, forecast_h = products_for_window(dataset, input_file, products)
+        if first_window is None:
+            first_window = (out, date_str, forecast_h)
         for name, field in out.items():
             base = f"PROD_{date_str}_f{forecast_h:03d}_{name}"
             path = os.path.join(out_dir, base + ".tiff")
@@ -219,7 +231,8 @@ def main():
         wanted = [p for p in ("t2", "wd10m", "rh2") if p in products] or \
             ["t2", "wd10m"]
         prod, model, stats = products_vs_model(
-            interface, params, dataset, files[0], products=wanted)
+            interface, params, dataset, files[0], products=wanted,
+            precomputed=first_window)
         summary["vs_model"] = stats
         if vis is not None:
             for name in wanted:

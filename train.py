@@ -32,6 +32,46 @@ def zip_codes(src_dir: str, dst_file: str) -> None:
                     zf.write(p, os.path.relpath(p, src_dir))
 
 
+def apply_overrides(config: dict, items) -> None:
+    """Apply ``--set key.path=value`` CLI overrides onto ``config``.
+
+    Values parse as Python literals when possible (else raw strings).  A typo
+    guard wraps ``update_params`` (reference semantics: it silently CREATES
+    missing keys, so a misspelled --set would be accepted with no effect on
+    the run): refuse to clobber a non-dict intermediate node, and warn loudly
+    when the leaf is new — which IS legitimate for tpu.* keys that have
+    defaults and are absent from the config file.
+    """
+    import ast
+
+    from deepphysinet_tpu.config.config import update_params
+
+    kv = {}
+    for item in items:
+        key, _, raw = item.partition("=")
+        try:
+            kv[key] = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            kv[key] = raw
+    for key in kv:
+        node = config
+        parts = key.split(".")
+        for i, p in enumerate(parts[:-1]):
+            if not isinstance(node, dict) or p not in node:
+                node = None
+                break
+            if not isinstance(node[p], dict):
+                raise SystemExit(
+                    f"--set {key}: config.{'.'.join(parts[:i + 1])} "
+                    f"is not a dict; refusing to clobber it")
+            node = node[p]
+        if node is None or parts[-1] not in node:
+            print(f"warning: --set {key} creates a NEW config key "
+                  f"(not present in the config file); check the "
+                  f"spelling if you meant to override an existing one")
+    update_params(config, kv)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser("DeepPhysiNet-TPU trainer")
     parser.add_argument("--config_file", type=str,
@@ -64,18 +104,7 @@ def main() -> None:
 
     cfg = Config.fromfile(args.config_file)
     if args.overrides:
-        import ast
-
-        from deepphysinet_tpu.config.config import update_params
-
-        kv = {}
-        for item in args.overrides:
-            key, _, raw = item.partition("=")
-            try:
-                kv[key] = ast.literal_eval(raw)
-            except (ValueError, SyntaxError):
-                kv[key] = raw
-        update_params(cfg["config"], kv)
+        apply_overrides(cfg["config"], args.overrides)
     mode = args.mode or cfg.get("mode", "train")
     models = builder_models(**cfg["config"])
 
