@@ -212,6 +212,16 @@ class PhysicsDataset:
         self.in_lon = np.asarray(lon)[0]
         self.in_lat = np.asarray(lat)[:, 0]
         assert self.in_lon[0] == self.out_lon[0] and self.in_lat[0] == self.out_lat[0]
+        # fine-grid (label) spacing in degrees, derived from the coord file
+        # rather than hardcoded: the reference assumes its 0.25-deg study grid
+        # (physics_dataset.py:336/444/540) — identical values there (the
+        # coord axes are exact multiples of 0.25), correct on any other label
+        # resolution; the device-sampling path already derives this
+        # (interface_physics.py fine_step).
+        self.fine_lon_step = float(self.out_lon[1] - self.out_lon[0]) \
+            if len(self.out_lon) > 1 else 0.25
+        self.fine_lat_step = float(self.out_lat[1] - self.out_lat[0]) \
+            if len(self.out_lat) > 1 else 0.25
         self.begin_lon = float(self.out_lon[0])
         self.begin_lat = float(self.out_lat[0])
 
@@ -398,8 +408,8 @@ class PhysicsDataset:
         x_rand = self.rng.randint(0, self.label_lon_size, (n,))
         y_rand = self.rng.randint(0, self.label_lat_size, (n,))
         t_rand = self.rng.randint(0, window_h + 1, (n,))
-        lon_rand = self.begin_lon + x_rand * 0.25
-        lat_rand = self.begin_lat + y_rand * 0.25
+        lon_rand = self.begin_lon + x_rand * self.fine_lon_step
+        lat_rand = self.begin_lat + y_rand * self.fine_lat_step
 
         # ERA5 labels: gather per unique hour, all 6 variables
         label_cache: Dict[str, np.ndarray] = {}
@@ -444,8 +454,8 @@ class PhysicsDataset:
         x_rand = self.rng.rand(n) * (self.label_lon_size - 1)
         y_rand = self.rng.rand(n) * (self.label_lat_size - 1)
         t_rand = self.rng.randint(0, window_h + 1, (n,))
-        lon_rand = self.begin_lon + x_rand * 0.25
-        lat_rand = self.begin_lat + y_rand * 0.25
+        lon_rand = self.begin_lon + x_rand * self.fine_lon_step
+        lat_rand = self.begin_lat + y_rand * self.fine_lat_step
         if cube6 is None:
             cube6 = self._nwp_cube(input_file)
         inter_data = self._interp_cube_at(cube6, lon_rand, lat_rand, t_rand)
@@ -460,8 +470,8 @@ class PhysicsDataset:
 
     def get_margin_grid(self, input_file, x_list, y_list, t_list):
         """Full-grid NWP conditioning for visualization (:528-588)."""
-        lon = self.begin_lon + np.asarray(x_list) * 0.25
-        lat = self.begin_lat + np.asarray(y_list) * 0.25
+        lon = self.begin_lon + np.asarray(x_list) * self.fine_lon_step
+        lat = self.begin_lat + np.asarray(y_list) * self.fine_lat_step
         cube6 = self._nwp_cube(input_file)
         data = self._interp_cube_at(cube6, lon, lat, np.asarray(t_list))
         f = self.get_coriolis(lat)

@@ -125,6 +125,13 @@ def evaluate_offlattice(
         # labeled whole hours with room for the +0.5*lts shift
         hour_slots = rng.choice(max(window_h // lts, 1),
                                 size=times_per_window, replace=False)
+        # dispatch every (slot, on/off) decode asynchronously and fetch the
+        # whole window in ONE device_get: per-fetch tunnel cost varies by
+        # day (CLAUDE.md), so 2*times_per_window blocking round trips per
+        # window would dominate on bad days — same one-fetch-per-window
+        # discipline as eval/rmse.py and eval/residuals.py.
+        jobs = []  # (kind, lon, lat, t_h) paired with outs[i]
+        outs = []
         for slot in hour_slots:
             # integer lattice draws, away from the +x/+y edges so the paired
             # half-cell shift stays inside the domain
@@ -137,7 +144,7 @@ def evaluate_offlattice(
                 t_h = t0 + ft
                 lon = dataset.begin_lon + xq * fine_lon
                 lat = dataset.begin_lat + yq * fine_lat
-                pred = np.asarray(jax.device_get(run(
+                outs.append(run(
                     params, field, fh_norm, cube6,
                     jnp.asarray(xq * dataset.dx, jnp.float32),
                     jnp.asarray(yq * dataset.dy, jnp.float32),
@@ -145,11 +152,14 @@ def evaluate_offlattice(
                     jnp.asarray(lon, jnp.float32),
                     jnp.asarray(lat, jnp.float32),
                     jnp.asarray(np.full(n_per_t, t_h), jnp.float32),
-                )), np.float64)
-                truth = _truth_at(lon, lat, base_hours + t_h, synth_seed)
-                d = pred - truth
-                sq[kind] += (d * d).sum(axis=0)
-                counts[kind] += n_per_t
+                ))
+                jobs.append((kind, lon, lat, t_h))
+        fetched = jax.device_get(outs)  # one transfer for the window
+        for (kind, lon, lat, t_h), pred in zip(jobs, fetched):
+            truth = _truth_at(lon, lat, base_hours + t_h, synth_seed)
+            d = np.asarray(pred, np.float64) - truth
+            sq[kind] += (d * d).sum(axis=0)
+            counts[kind] += n_per_t
 
     out: Dict[str, float] = {}
     r_on = np.sqrt(sq["on"] / max(counts["on"], 1))

@@ -73,6 +73,13 @@ def _jitted_encode(model):
 # Fixed chunks also mean ONE remote compile serves any query size, instead of
 # a fresh ~30 s tunnel compile per distinct N.
 _DECODE_CHUNK = 40960
+# Small (station-style) queries edge-pad up to one of these fixed bucket
+# sizes (then trim), so sessions with varying point counts share at most a
+# few compiled programs instead of paying a fresh ~30 s remote trace per
+# distinct N.  Grid-sized queries above the largest bucket run at their
+# exact shape: sweeps repeat the same N every frame, so they compile once
+# anyway and padding would tax every frame's steady state.
+_DECODE_BUCKETS = (256, 1024, 8192)
 
 
 def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip,
@@ -101,9 +108,23 @@ def _decode_points(model, params, cfg, tokens, x, y, t, nwp, fh_norm, with_clip,
     nwp = np.asarray(nwp, np.float32)
     fh_arr = jnp.asarray([fh_norm], jnp.float32)
     n = x.shape[0]
+    if n == 0:
+        return jnp.zeros((len(cfg.obs_specs), 0), jnp.float32)
     if n <= chunk:
-        return fn(params, tokens, jnp.asarray(x), jnp.asarray(y),
-                  jnp.asarray(t), jnp.asarray(nwp), fh_arr)
+        bucket = n  # grid-sized: exact shape (one compile per sweep size)
+        for b in _DECODE_BUCKETS:
+            if b <= chunk and n <= b:
+                bucket = b
+                break
+        pad = bucket - n
+        if pad:  # edge-pad to the bucket's compiled shape, trimmed below
+            x = np.pad(x, (0, pad), mode="edge")
+            y = np.pad(y, (0, pad), mode="edge")
+            t = np.pad(t, (0, pad), mode="edge")
+            nwp = np.pad(nwp, ((0, pad), (0, 0)), mode="edge")
+        out = fn(params, tokens, jnp.asarray(x), jnp.asarray(y),
+                 jnp.asarray(t), jnp.asarray(nwp), fh_arr)
+        return out[:, :n]
     outs = []
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
@@ -129,15 +150,29 @@ def predict_grid(
     forecast_h: float,
     time_id_hours: float,
     with_clip: bool = True,
+    out_size: Optional[tuple] = None,
 ) -> Dict[str, np.ndarray]:
     """Full output-grid sweep at one time offset -> {var: [lat, lon] physical}.
 
     Mirrors the vis path (interface_physics.py:538-591) and the intended
-    inference sweep (:1466-1517).
+    inference sweep (:1466-1517).  ``out_size=(lat, lon)`` resamples the
+    neural field over the same study area at a different output resolution
+    (the model is continuous in (x, y), so any grid density is a valid
+    query); default is the training grid.
     """
     lon_size = cfg.coord_spec.lon_size
     lat_size = cfg.coord_spec.lat_size
-    xs, ys = np.meshgrid(np.arange(lon_size), np.arange(lat_size))
+    if out_size is None:
+        out_lat_n, out_lon_n = lat_size, lon_size
+        x_ax = np.arange(lon_size, dtype=np.float64)
+        y_ax = np.arange(lat_size, dtype=np.float64)
+    else:
+        out_lat_n, out_lon_n = int(out_size[0]), int(out_size[1])
+        # linspace(0, n-1, n) is exact integers, so out_size == the training
+        # grid reproduces the default path bitwise
+        x_ax = np.linspace(0.0, lon_size - 1.0, out_lon_n)
+        y_ax = np.linspace(0.0, lat_size - 1.0, out_lat_n)
+    xs, ys = np.meshgrid(x_ax, y_ax)
     x_list = xs.reshape(-1)
     y_list = ys.reshape(-1)
     # float dtype: fractional time offsets must survive (continuous time axis)
@@ -153,9 +188,8 @@ def predict_grid(
 
     out: Dict[str, np.ndarray] = {}
     for i, name in enumerate(_VAR_KEYS):
-        img = np.zeros((lat_size, lon_size), np.float32)
-        img[y_list, x_list] = phys[i]
-        out[name] = img
+        # row-major meshgrid flattening: reshape IS the (y, x) scatter
+        out[name] = phys[i].reshape(out_lat_n, out_lon_n).astype(np.float32)
     return out
 
 
@@ -173,8 +207,12 @@ def predict_points(
     with_clip: bool = True,
 ) -> np.ndarray:
     """Continuous (station) queries -> [N, 6] physical values."""
-    x = (np.asarray(lon) - dataset.begin_lon) / 0.25 * dataset.dx
-    y = (np.asarray(lat) - dataset.begin_lat) / 0.25 * dataset.dy
+    # degrees -> fractional fine-grid index -> model coords; the spacing is
+    # the dataset's derived label-grid step (0.25 deg on the reference grid,
+    # correct on any other resolution — same convention as eval/rmse.py and
+    # the device path's fine_step)
+    x = (np.asarray(lon) - dataset.begin_lon) / dataset.fine_lon_step * dataset.dx
+    y = (np.asarray(lat) - dataset.begin_lat) / dataset.fine_lat_step * dataset.dy
     t = np.asarray(t_hours) * 3600.0
     cube6 = dataset._nwp_cube(input_file)
     nwp = dataset._interp_cube_at(cube6, np.asarray(lon), np.asarray(lat), np.asarray(t_hours))
@@ -193,11 +231,16 @@ def run_inference(interface, **kwargs):
     from deepphysinet_tpu.utils.vis import VisUtils
 
     inf_cfg = dict(interface.inference_cfg)
-    img_size = inf_cfg["img_size"]
-    if isinstance(img_size, (int, float)):
-        lat_size = lon_size = int(img_size)
+    # inference_cfg.img_size selects the OUTPUT resolution: the neural field
+    # resamples continuously over the study area, so any (lat, lon) density
+    # is a valid sweep; omit (or match the training grid) for the default.
+    img_size = inf_cfg.get("img_size")
+    if img_size is None:
+        out_size = None
+    elif isinstance(img_size, (int, float)):
+        out_size = (int(img_size), int(img_size))
     else:
-        lat_size, lon_size = img_size
+        out_size = (int(img_size[0]), int(img_size[1]))
 
     dt = float(inf_cfg.get("dt", 3600))
     start_time = datetime.datetime.strptime(inf_cfg["start_time"], _DATE_FMT)
@@ -241,7 +284,9 @@ def run_inference(interface, **kwargs):
     vis_cfg.setdefault("landsea_file",
                        os.path.join(dataset.constant_path, "landsea.tiff"))
     vis_utils = VisUtils(**vis_cfg) if with_vis else None
-    if with_vis and vis_path:
+    if (with_vis or write_source) and vis_path:
+        # write_source rasters land in vis_path too; geotiff's writer does
+        # not create directories
         os.makedirs(vis_path, exist_ok=True)
 
     window_h = dataset.input_time_step * dataset.input_time_step_nums
@@ -272,6 +317,7 @@ def run_inference(interface, **kwargs):
         grids = predict_grid(
             interface.physics_net, params, cfg, dataset, input_file,
             jnp.asarray(field, jnp.float32), float(fh), off, with_clip=True,
+            out_size=out_size,
         )
         out_time = ref_time + datetime.timedelta(hours=time_offset_h)
         stamp = out_time.strftime(_DATE_FMT)
@@ -284,11 +330,17 @@ def run_inference(interface, **kwargs):
                 vis_utils.forward(img, os.path.join(vis_path, f"{stamp}_{variable_name}_vis.jpg"))
             if write_source:
                 # grids are south-up (row 0 = begin_lat); flip to the standard
-                # north-up GeoTIFF orientation with a matching geo-transform
-                step = float(dataset.out_lat[1] - dataset.out_lat[0])
-                h = img.shape[0]
-                geo = (dataset.begin_lon, step, 0.0,
-                       dataset.begin_lat + step * (h - 1), 0.0, -step)
+                # north-up GeoTIFF orientation with a matching geo-transform.
+                # Pixel sizes come from the respective axes (lon != lat
+                # spacing on non-square grids); an img_size resample rescales
+                # them by the model-grid/output-grid ratio.
+                h, w = img.shape
+                step_x = float(dataset.fine_lon_step) * \
+                    (cfg.coord_spec.lon_size - 1) / max(w - 1, 1)
+                step_y = float(dataset.fine_lat_step) * \
+                    (cfg.coord_spec.lat_size - 1) / max(h - 1, 1)
+                geo = (dataset.begin_lon, step_x, 0.0,
+                       dataset.begin_lat + step_y * (h - 1), 0.0, -step_y)
                 save_full_image(os.path.join(vis_path, f"{stamp}_{variable_name}.tiff"),
                                 img[::-1], geo_transform=geo,
                                 projection="EPSG:4326",  # lat/lon study grid

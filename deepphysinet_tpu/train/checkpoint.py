@@ -224,25 +224,43 @@ def save_model_orbax(
 
     root = os.path.abspath(checkpoint_path)
     step_dir = os.path.join(root, f"{prefix}_{epoch}_orbax")
-    if os.path.exists(step_dir):
-        shutil.rmtree(step_dir)
+    # crash-atomicity, same contract as the pickle backend above: saves run
+    # inside the preemption grace window, so a hard kill mid-save must leave
+    # either the previous complete checkpoint or the new one — never a
+    # half-written step dir that latest points at, and never no latest at
+    # all.  (1) the full step (state + meta sidecar) is assembled in a .tmp
+    # dir and swapped in afterwards; (2) the latest pointer is updated via
+    # symlink-to-tmp + os.replace (atomic rename) instead of remove+symlink.
+    tmp_dir = step_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
     ckptr = ocp.StandardCheckpointer()
     tree = {"model": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
-    ckptr.save(os.path.join(step_dir, "state"), tree)
+    ckptr.save(os.path.join(tmp_dir, "state"), tree)
     ckptr.wait_until_finished()
     side = {"epoch": epoch, "gobal_step": global_step}
     side.update(metadata)
-    with open(os.path.join(step_dir, "meta.pickle"), "wb") as fp:
+    with open(os.path.join(tmp_dir, "meta.pickle"), "wb") as fp:
         pickle.dump(side, fp)
+    if os.path.exists(step_dir):  # re-save of the same epoch: swap, then
+        old_dir = step_dir + ".old"  # drop the displaced copy
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.rename(step_dir, old_dir)
+        os.rename(tmp_dir, step_dir)
+        shutil.rmtree(old_dir)
+    else:
+        os.rename(tmp_dir, step_dir)
     latest = os.path.join(root, f"{prefix}_latest_orbax")
-    if os.path.islink(latest) or os.path.exists(latest):
-        if os.path.isdir(latest) and not os.path.islink(latest):
-            shutil.rmtree(latest)
-        else:
-            os.remove(latest)
-    os.symlink(step_dir, latest)
+    if os.path.isdir(latest) and not os.path.islink(latest):
+        shutil.rmtree(latest)  # legacy real-directory pointer
+    tmp_link = latest + ".tmp"
+    if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(step_dir, tmp_link)
+    os.replace(tmp_link, latest)
     return step_dir
 
 

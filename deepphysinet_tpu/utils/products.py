@@ -95,6 +95,12 @@ class ProductsUtils:
         self.altitude = np.asarray(altitude, np.float64)
         self.smooth_passes = smooth_passes
         self._cache: Dict[str, np.ndarray] = {}
+        # derived-intermediate memo (per forward() call, like _cache): rh
+        # stacks, t2, raw rh2 and height-interpolated winds are shared by
+        # several products (td2 needs t2+rh2, wd10m needs u10m/v10m/w) and
+        # the Lagrange interp + 9-point smoother dominate runtime on real
+        # grids — identical values, computed once.
+        self._derived: Dict = {}
 
     # ---- plumbing ----
 
@@ -111,6 +117,11 @@ class ProductsUtils:
             self._cache[var_name] = np.asarray(self.gather_fn(var_name), np.float64)
         return self._cache[var_name]
 
+    def _memo(self, key, fn) -> np.ndarray:
+        if key not in self._derived:
+            self._derived[key] = fn()
+        return self._derived[key]
+
     def _select_level(self, data: np.ndarray, params: Optional[str]) -> np.ndarray:
         if params is None:
             return data
@@ -122,6 +133,7 @@ class ProductsUtils:
         """Compute the requested products (downscale_utils.py:157-198)."""
         self.check_available(opt_variables)
         self._cache.clear()
+        self._derived.clear()
         out: Dict[str, np.ndarray] = {}
         for name in opt_variables:
             parts = name.split("_")
@@ -133,6 +145,7 @@ class ProductsUtils:
             else:
                 out[name] = getattr(self, f"forward_{var_name}")(params=params)
         self._cache.clear()
+        self._derived.clear()
         return out
 
     # ---- products (formulas from downscale_utils.py:228-401) ----
@@ -141,12 +154,14 @@ class ProductsUtils:
         return np.reshape(np.asarray(self.press_levels, np.float64), (-1, 1, 1))
 
     def forward_rh(self, params=None) -> np.ndarray:
-        T = self._gather("T")
-        q = self._gather("q")
-        e = q * self._press_col() / 0.622
-        t = T - 273.15
-        E = 611.2 * np.exp(17.67 * t / (t + 243.5))
-        rh = e * 100.0 / E
+        def _stack():
+            T = self._gather("T")
+            q = self._gather("q")
+            e = q * self._press_col() / 0.622
+            t = T - 273.15
+            E = 611.2 * np.exp(17.67 * t / (t + 243.5))
+            return e * 100.0 / E
+        rh = self._memo(("rh",), _stack)
         return self._select_level(rh, params) if params else rh
 
     def forward_rio(self, params=None) -> np.ndarray:
@@ -172,34 +187,48 @@ class ProductsUtils:
         return smooth2d(sst, self.smooth_passes, cenweight=4)
 
     def forward_t2(self, params=None) -> np.ndarray:
-        z, T = self._gather("z"), self._gather("T")
-        t2 = lagrange_interp_z(self.altitude + 2, z, T, selected_levels=range(min(5, len(z))))
-        return smooth2d(t2, self.smooth_passes, cenweight=4)
+        def _t2():
+            z, T = self._gather("z"), self._gather("T")
+            t2 = lagrange_interp_z(self.altitude + 2, z, T,
+                                   selected_levels=range(min(5, len(z))))
+            return smooth2d(t2, self.smooth_passes, cenweight=4)
+        return self._memo(("t2",), _t2)
+
+    def _rh2_raw(self) -> np.ndarray:
+        """Unsmoothed 2 m relative humidity (shared by rh2 and td2)."""
+        def _raw():
+            rh = self.forward_rh()
+            z = self._gather("z")
+            return lagrange_interp_z(self.altitude + 2, z, rh,
+                                     selected_levels=range(min(5, len(z))))
+        return self._memo(("rh2_raw",), _raw)
 
     def forward_rh2(self, params=None) -> np.ndarray:
-        rh = self.forward_rh()
-        z = self._gather("z")
-        rh2 = lagrange_interp_z(self.altitude + 2, z, rh, selected_levels=range(min(5, len(z))))
-        return smooth2d(rh2, self.smooth_passes, cenweight=4)
+        return smooth2d(self._rh2_raw(), self.smooth_passes, cenweight=4)
 
     def forward_td2(self, params=None) -> np.ndarray:
-        """2 m dew point via the Magnus formula (downscale_utils.py:352-372)."""
+        """2 m dew point via the Magnus formula (downscale_utils.py:352-372).
+
+        Faithful to the reference: td2 is built from the SMOOTHED t2 but the
+        UNSMOOTHED rh2 interp (forward_td2 never applies smooth2d to its rh2,
+        downscale_utils.py:311-327, while forward_rh2 does at :337)."""
         t2 = self.forward_t2()
-        rh = self.forward_rh()
-        z = self._gather("z")
-        rh2 = lagrange_interp_z(self.altitude + 2, z, rh, selected_levels=range(min(5, len(z))))
+        rh2 = self._rh2_raw()
         a, b = 17.27, 237.7
         t = t2 - 273.15
         gamma = a * t / (b + t) + np.log(rh2 / 100 + 1e-16)
         return b * gamma / (a - gamma) + 273.15
 
     def _wind_at(self, var: str, height_above_ground: float) -> np.ndarray:
-        z = self._gather("z")
-        u = self._gather(var)
-        data = lagrange_interp_z(
-            self.altitude + height_above_ground, z, u, selected_levels=range(min(5, len(z)))
-        )
-        return smooth2d(data, self.smooth_passes, cenweight=4)
+        def _wind():
+            z = self._gather("z")
+            u = self._gather(var)
+            data = lagrange_interp_z(
+                self.altitude + height_above_ground, z, u,
+                selected_levels=range(min(5, len(z)))
+            )
+            return smooth2d(data, self.smooth_passes, cenweight=4)
+        return self._memo(("wind", var, float(height_above_ground)), _wind)
 
     def forward_u10m(self, params=None) -> np.ndarray:
         return self._wind_at("u", 10)

@@ -220,3 +220,37 @@ class TestHostCacheBounds:
                 ds.get_cube_item(i)
                 assert ds._cache.nbytes <= ds._cache.max_bytes
                 assert ds._cube_cache.nbytes <= ds._cube_cache.max_bytes
+
+
+def test_fine_step_derived_from_coord_file(dataset, tmp_path_factory):
+    """The label-grid spacing comes from the coord file (reference hardcodes
+    its 0.25-deg study grid; identical there, correct on other
+    resolutions)."""
+    assert dataset.fine_lon_step == 0.25
+    assert dataset.fine_lat_step == 0.25
+
+    root = str(tmp_path_factory.mktemp("synth_halfdeg"))
+    paths = generate_synthetic_dataset(
+        root, n_init_times=1, bbox=(72.0, 18.0, 80.0, 23.0), fine_step=0.5)
+    h, w = paths["img_size"]
+    ds = PhysicsDataset(
+        input_path=paths["input_path"],
+        label_path=paths["label_path"],
+        input_data_map_cfg={"NCEP": paths["input_map_file"]},
+        start_time="2008-01-01_00_00_00",
+        end_time="2008-01-10_00_00_00",
+        input_variable_cfg=VARIABLE_CFG,
+        out_variable_cfg=OBS_CFG,
+        in_coord_file=paths["in_coord_file"],
+        out_coord_file=paths["out_coord_file"],
+        constant_path=paths["constant_path"],
+        constant_variables=("landsea", "elevation", "lat", "lon"),
+        label_img_size=(h, w),
+        dx=27000.0, dy=27000.0,
+        label_batch_size=16, inter_batch_size=8, seed=0,
+    )
+    assert ds.fine_lon_step == 0.5 and ds.fine_lat_step == 0.5
+    # the sampled-margin NWP conditioning and full item path run with the
+    # derived spacing (would read outside the coarse cube if 0.25 were kept)
+    item = ds[0]
+    assert np.isfinite(item["margin_input_data"]).all()

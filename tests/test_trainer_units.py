@@ -317,3 +317,25 @@ def test_apply_overrides_typo_guard(capsys):
     # non-literal values fall back to raw strings
     train_cli.apply_overrides(cfg, ["train_cfg.tpu.ds_sampler=pool"])
     assert cfg["train_cfg"]["tpu"]["ds_sampler"] == "pool"
+
+
+def test_orbax_resave_atomic_latest(tmp_path):
+    """Re-saving the SAME epoch (preemption after a resume) must swap the
+    step dir and latest pointer without dangling or leftovers: a hard kill
+    mid-save must leave either the old or the new complete checkpoint."""
+    import jax.numpy as jnp
+
+    path = str(tmp_path)
+    ckpt.save_model_orbax(path, epoch=1, global_step=10,
+                          params={"w": jnp.ones((2,))})
+    ckpt.save_model_orbax(path, epoch=1, global_step=20,
+                          params={"w": jnp.full((2,), 2.0)})
+    state, ne, gs = ckpt.load_model_orbax(path)
+    assert gs == 20
+    np.testing.assert_array_equal(np.asarray(state["model"]["w"]),
+                                  np.full((2,), 2.0))
+    leftovers = [p for p in os.listdir(path)
+                 if p.endswith(".tmp") or p.endswith(".old")]
+    assert leftovers == []
+    latest = os.path.join(path, "physics_latest_orbax")
+    assert os.path.islink(latest) and os.path.exists(latest)
