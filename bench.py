@@ -101,10 +101,10 @@ def main() -> None:
     from deepphysinet_tpu.train.point_fn import make_phys_fn
 
     use_kernel = jax.default_backend() == "tpu"
-    n_eval = 40960  # residual-eval batch: measured throughput peak (docs/PERF.md
-    # batch-size curve: a ~17.8M evals/s plateau spans 24K-49K points, falling
-    # to 15.7M at 57K and monotonically after -- the XLA prep pipeline's
-    # working set stops fitting in VMEM; larger sweeps should chunk at ~40K)
+    n_eval = 40960  # residual-eval batch: on the measured throughput plateau
+    # (docs/PERF.md batch-size curves: in the shipping v4s regime the plateau
+    # is flat 24K-131K within +/-1% -- the v4-era >49K VMEM spill cliff was
+    # the dpe prep's working set, which v4s deleted; round 5 (g))
     coords = jnp.asarray(
         np.stack([
             rng.rand(n_eval) * 27000 * (lon_size - 1),
