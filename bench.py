@@ -103,8 +103,9 @@ def main() -> None:
     use_kernel = jax.default_backend() == "tpu"
     n_eval = 40960  # residual-eval batch: on the measured throughput plateau
     # (docs/PERF.md batch-size curves: in the shipping v4s regime the plateau
-    # is flat 24K-131K within +/-1% -- the v4-era >49K VMEM spill cliff was
-    # the dpe prep's working set, which v4s deleted; round 5 (g))
+    # is flat 24K-131K within +/-1% -- the v4-era >49K cliff was the
+    # lane-padded [3, N, 6] tangent-output traffic, cured by var-major IO;
+    # rounds 4 (i) + 5 (g))
     coords = jnp.asarray(
         np.stack([
             rng.rand(n_eval) * 27000 * (lon_size - 1),

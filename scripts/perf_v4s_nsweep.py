@@ -1,11 +1,12 @@
 """Batch-size sweep of the v4s fused residual eval (round 5 continuation).
 
-The bench's 40960-pt sweet spot (plateau 24K-49K, docs/PERF.md round-2 curve)
-was measured in the v4 regime, where the XLA prep pipeline (pe + dpe tangent
-stack) set the VMEM working set.  v4s (kernel_version=7) deleted the dpe
-array and its prep, so the spill point may have moved: this sweeps the full
-fused eval (encode + prep + v4s kernel pair + assembly, the exact bench
-workload) over N and reports evals/s at each.
+The bench's 40960-pt sweet spot (plateau 24K-49K with a >49K cliff,
+docs/PERF.md round-2 curve) was measured in the v4 regime; round 4 (i)
+identified the cliff as the old split path's 21x lane-padded [3, N, 6]
+tangent outputs and showed the v4t decode split flat through 131K.  This
+sweeps the FULL shipping workload — encode + prep + v4s kernel pair +
+assembly (exactly what bench.py times, kernel_version=7) — over N to
+confirm the flat plateau holds end-to-end (docs/PERF.md round 5 (g)).
 
 Run on an IDLE host (tunnel timing rules, CLAUDE.md):
   PYTHONPATH=/root/repo:/root/.axon_site /opt/venv/bin/python \
